@@ -1,0 +1,278 @@
+"""The training objective, fully on-device.
+
+Re-design of ref models/loss.py (DetFocalLoss :38-194, KPFocalLoss :205-213,
+focal_loss :216-245, AELoss :248-317, TangentLoss :320-351, ComposeLoss
+:354-384). The reference loops over batch items and instances in Python with
+numpy<->GPU churn every step; here everything is vmapped/scanned static-shape
+jit code consuming the padded `Targets` from ops/targets.py.
+
+Loss names and weighting match the reference exactly:
+    total = cls + wh(=box regression * 50) + kp + ae + tan
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from instance_segmentation_tpu.ops.targets import Targets, gaussian_window_target
+
+_EPS = 1e-4
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    alpha: float = 0.25           # det focal alpha (ref loss.py:43)
+    gamma: float = 2.0            # det focal gamma (ref loss.py:44)
+    pos_iou: float = 0.5          # anchor-positive threshold (ref :109)
+    neg_iou: float = 0.4          # anchor-negative threshold (ref :107)
+    reg_weight: float = 50.0      # regression scaling (ref :192-194)
+    ae_weight: float = 1.0
+    tan_weight: float = 1.0
+
+
+def coordinate_grid(h: int, w: int) -> jnp.ndarray:
+    """The fixed global embedding coordinate frame, sliced to (h, w).
+
+    Reference: utils/utils.py:453-458 builds a 1024x2048 grid with
+    y = linspace(0, 1, 1024), x = linspace(0, 2, 2048) and callers slice
+    [0:h, 0:w] — so grid values are i/1023 and 2*j/2047 regardless of the
+    actual input size. Returns [h, w, 2] with channels (y, x).
+    """
+    if h > 1024 or w > 2048:
+        raise ValueError(f"coordinate grid is fixed at 1024x2048 (got {h}x{w})")
+    ys = jnp.arange(h, dtype=jnp.float32) / 1023.0
+    xs = jnp.arange(w, dtype=jnp.float32) * (2.0 / 2047.0)
+    yy = jnp.broadcast_to(ys[:, None], (h, w))
+    xx = jnp.broadcast_to(xs[None, :], (h, w))
+    return jnp.stack([yy, xx], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Detection focal + box regression (ref DetFocalLoss :38-194)
+# ---------------------------------------------------------------------------
+
+def _iou_anchors_gt(anchors: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """IoU between anchors [A,4] (y1,x1,y2,x2) and gt boxes [M,4] (x1,y1,x2,y2).
+
+    Mirrors ref calc_iou (loss.py:21-35) including its mixed layouts.
+    """
+    area_g = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])               # [M]
+    iw = jnp.minimum(anchors[:, 3:4], gt[None, :, 2]) - jnp.maximum(anchors[:, 1:2], gt[None, :, 0])
+    ih = jnp.minimum(anchors[:, 2:3], gt[None, :, 3]) - jnp.maximum(anchors[:, 0:1], gt[None, :, 1])
+    iw = jnp.clip(iw, 0, None)
+    ih = jnp.clip(ih, 0, None)
+    area_a = (anchors[:, 2] - anchors[:, 0]) * (anchors[:, 3] - anchors[:, 1])
+    union = jnp.clip(area_a[:, None] + area_g[None, :] - iw * ih, 1e-8, None)
+    return iw * ih / union                                                # [A, M]
+
+
+def det_focal_loss(classification: jnp.ndarray, regression: jnp.ndarray,
+                   anchors: jnp.ndarray, det_ann: jnp.ndarray,
+                   cfg: LossConfig = LossConfig()) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """classification [B,A,C], regression [B,A,4], anchors [A,4], det_ann [B,M,5]."""
+
+    aw = anchors[:, 3] - anchors[:, 1]
+    ah = anchors[:, 2] - anchors[:, 0]
+    acx = anchors[:, 1] + 0.5 * aw
+    acy = anchors[:, 0] + 0.5 * ah
+
+    def per_image(cls_prob, reg, ann):
+        gt_valid = ann[:, 4] >= 0                                         # [M]
+        cls_prob = jnp.clip(cls_prob, _EPS, 1.0 - _EPS)                   # [A, C]
+
+        iou = _iou_anchors_gt(anchors, ann[:, :4])                        # [A, M]
+        iou = jnp.where(gt_valid[None, :], iou, -1.0)
+        iou_max = jnp.max(iou, axis=1)                                    # [A]
+        iou_arg = jnp.argmax(iou, axis=1)                                 # [A]
+        assigned = ann[iou_arg]                                           # [A, 5]
+
+        pos = iou_max >= cfg.pos_iou
+        neg = iou_max < cfg.neg_iou
+        num_pos = jnp.sum(pos)
+
+        # classification targets: -1 ignore, 0 negative, one-hot positive
+        one_hot = jax.nn.one_hot(assigned[:, 4].astype(jnp.int32),
+                                 cls_prob.shape[-1], dtype=jnp.float32)
+        targets = jnp.where(pos[:, None], one_hot, 0.0)
+        known = pos[:, None] | neg[:, None]                               # not ignored
+
+        alpha_f = jnp.where(targets == 1.0, cfg.alpha, 1.0 - cfg.alpha)
+        focal_w = jnp.where(targets == 1.0, 1.0 - cls_prob, cls_prob)
+        focal_w = alpha_f * focal_w ** cfg.gamma
+        bce = -(targets * jnp.log(cls_prob) + (1.0 - targets) * jnp.log(1.0 - cls_prob))
+        cls_loss = jnp.sum(jnp.where(known, focal_w * bce, 0.0))
+        cls_loss = cls_loss / jnp.clip(num_pos.astype(jnp.float32), 1.0, None)
+
+        # box regression on positives (ref :137-169)
+        gw = jnp.clip(assigned[:, 2] - assigned[:, 0], 1.0, None)
+        gh = jnp.clip(assigned[:, 3] - assigned[:, 1], 1.0, None)
+        gcx = assigned[:, 0] + 0.5 * (assigned[:, 2] - assigned[:, 0])
+        gcy = assigned[:, 1] + 0.5 * (assigned[:, 3] - assigned[:, 1])
+        t_dx = (gcx - acx) / aw
+        t_dy = (gcy - acy) / ah
+        t_dw = jnp.log(gw / aw)
+        t_dh = jnp.log(gh / ah)
+        t = jnp.stack([t_dy, t_dx, t_dh, t_dw], axis=1)                   # [A, 4]
+        diff = jnp.abs(t - reg)
+        smooth = jnp.where(diff <= 1.0 / 9.0, 0.5 * 9.0 * diff ** 2, diff - 0.5 / 9.0)
+        reg_loss = jnp.sum(jnp.where(pos[:, None], smooth, 0.0))
+        reg_loss = jnp.where(num_pos > 0,
+                             reg_loss / jnp.clip(num_pos.astype(jnp.float32) * 4.0, 1.0, None),
+                             0.0)
+        return cls_loss, reg_loss
+
+    cls_l, reg_l = jax.vmap(per_image)(classification, regression, det_ann)
+    return jnp.mean(cls_l), jnp.mean(reg_l) * cfg.reg_weight
+
+
+# ---------------------------------------------------------------------------
+# CornerNet-style penalty-reduced focal (ref focal_loss :216-245)
+# ---------------------------------------------------------------------------
+
+def focal_heatmap_loss(pred: jnp.ndarray, gt: jnp.ndarray,
+                       window: jnp.ndarray | None = None) -> jnp.ndarray:
+    """pred in (0,1), gt in [0,1] with 1 at keypoints. Optional window mask."""
+    pred = jnp.clip(pred, _EPS, 1.0 - _EPS)
+    pos = (gt == 1.0).astype(jnp.float32)
+    neg = (gt < 1.0).astype(jnp.float32)
+    if window is not None:
+        pos = pos * window
+        neg = neg * window
+    neg_w = (1.0 - gt) ** 4
+    pos_loss = jnp.sum(jnp.log(pred) * (1.0 - pred) ** 2 * pos)
+    neg_loss = jnp.sum(jnp.log(1.0 - pred) * pred ** 2 * neg_w * neg)
+    num_pos = jnp.sum(pos)
+    return jnp.where(num_pos == 0, -neg_loss, -(pos_loss + neg_loss) / jnp.clip(num_pos, 1.0, None))
+
+
+def kp_focal_loss(kp_logits: jnp.ndarray, kp_tgt: jnp.ndarray) -> jnp.ndarray:
+    """kp_logits [B,H,W,1], kp_tgt [B,H,W] (ref KPFocalLoss :205-213).
+
+    The reference computes one focal over the whole batch tensor (so num_pos
+    is summed across the batch); we match that.
+    """
+    pred = jnp.clip(jax.nn.sigmoid(kp_logits[..., 0]), _EPS, 1.0 - _EPS)
+    return focal_heatmap_loss(pred, kp_tgt)
+
+
+# ---------------------------------------------------------------------------
+# Spatial-embedding (AE) loss (ref AELoss :248-317)
+# ---------------------------------------------------------------------------
+
+def ae_loss(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
+            cfg: LossConfig = LossConfig()) -> jnp.ndarray:
+    """ae [B,H,W,4]; xym [H,W,2] from coordinate_grid."""
+    B, H, W, _ = ae.shape
+
+    def per_image(ae_i, centers, inst_valid, points, pt_valid):
+        spatial_emb = jnp.tanh(ae_i[..., 0:2]) + xym                     # [H,W,2]
+        sigma = jnp.exp(ae_i[..., 2:4])                                   # [H,W,2]
+        n = jnp.sum(inst_valid)
+
+        centers_int = centers.astype(jnp.int32)                           # [M,2]
+        ci = jnp.clip(centers_int[:, 0], 0, H - 1)
+        cj = jnp.clip(centers_int[:, 1], 0, W - 1)
+        center_emb = xym[ci, cj]                                          # [M,2] (ref :282,:296)
+
+        def per_instance(carry, idx):
+            inst_l, var_l = carry
+            kps = points[idx]                                             # [P,2] int
+            val = pt_valid[idx]                                           # [P]
+            valid_inst = inst_valid[idx]
+
+            def compute(_):
+                big = jnp.int32(1 << 20)
+                kmin = jnp.min(jnp.where(val[:, None], kps, big), axis=0)
+                kmax = jnp.max(jnp.where(val[:, None], kps, -big), axis=0)
+                mask_size = (kmax - kmin) * 2                             # (ref :288)
+                lt = jnp.clip(centers_int[idx] - mask_size // 2, 0, 2048) # (ref :289)
+                rb = centers_int[idx] + mask_size // 2
+                rb = jnp.stack([jnp.clip(rb[0], 0, H), jnp.clip(rb[1], 0, W)])
+
+                rows = jnp.arange(H)[:, None]
+                cols = jnp.arange(W)[None, :]
+                window = ((rows >= lt[0]) & (rows < rb[0]) &
+                          (cols >= lt[1]) & (cols < rb[1])).astype(jnp.float32)
+
+                c_emb = center_emb[idx]                                   # [2]
+                pred = jnp.exp(-jnp.sum((spatial_emb - c_emb) ** 2 * sigma, axis=-1))
+                tgt = gaussian_window_target(kps, val, H, W)
+                i_loss = focal_heatmap_loss(pred, tgt, window=window)
+
+                # pull/seed term (ref :307-311): distance of each boundary
+                # pixel's embedding to every center; L1 between own-center
+                # affinity and best affinity, summed over pixels.
+                e_k = spatial_emb[kps[:, 0], kps[:, 1]]                   # [P,2]
+                s_k = sigma[kps[:, 0], kps[:, 1]]                         # [P,2]
+                d = jnp.exp(-jnp.sum((e_k[:, None, :] - center_emb[None, :, :]) ** 2
+                                     * s_k[:, None, :], axis=-1))         # [P,M]
+                d = jnp.where(inst_valid[None, :], d, -jnp.inf)
+                d_max = jnp.max(d, axis=1)                                # [P]
+                d_own = d[:, idx]
+                v_loss = jnp.sum(jnp.where(val, jnp.abs(d_own - d_max), 0.0))
+                return i_loss, v_loss
+
+            i_loss, v_loss = jax.lax.cond(
+                valid_inst, compute, lambda _: (jnp.float32(0.0), jnp.float32(0.0)), None)
+            return (inst_l + i_loss, var_l + v_loss), None
+
+        (inst_l, var_l), _ = jax.lax.scan(
+            per_instance, (jnp.float32(0.0), jnp.float32(0.0)),
+            jnp.arange(points.shape[0]))
+        return jnp.where(n > 0, (inst_l + var_l) / jnp.clip(n.astype(jnp.float32), 1.0, None), 0.0)
+
+    per = jax.vmap(per_image)(ae, targets.centers, targets.inst_valid,
+                              targets.points, targets.pt_valid)
+    return cfg.ae_weight * jnp.sum(per) / B
+
+
+# ---------------------------------------------------------------------------
+# Tangent loss (ref TangentLoss :320-351)
+# ---------------------------------------------------------------------------
+
+def tangent_loss(tan: jnp.ndarray, targets: Targets,
+                 cfg: LossConfig = LossConfig()) -> jnp.ndarray:
+    """tan [B,H,W,2]; 1 - cos(pred, inward normal) at boundary samples."""
+
+    def per_image(tan_i, points, pt_valid, normals):
+        pts = points.reshape(-1, 2)                                       # [M*P, 2]
+        val = pt_valid.reshape(-1).astype(jnp.float32)
+        nrm = normals.reshape(-1, 2)
+        t = tan_i[pts[:, 0], pts[:, 1]]                                   # [M*P, 2]
+        t = t / jnp.clip(jnp.sqrt(jnp.sum(t * t, axis=-1, keepdims=True)), _EPS, None)
+        cos = jnp.sum(nrm * t, axis=-1)
+        n_val = jnp.sum(val)
+        return jnp.where(n_val > 0, jnp.sum((1.0 - cos) * val) / jnp.clip(n_val, 1.0, None), 0.0)
+
+    per = jax.vmap(per_image)(tan, targets.points, targets.pt_valid, targets.normals)
+    return cfg.tan_weight * jnp.mean(per)
+
+
+# ---------------------------------------------------------------------------
+# Composition (ref ComposeLoss :354-384)
+# ---------------------------------------------------------------------------
+
+def compose_loss(outputs, targets: Targets, anchors: jnp.ndarray,
+                 cfg: LossConfig = LossConfig()) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """outputs = (kp, ae, tan, regression, classification) from EfficientSeg."""
+    kp, ae, tan, regression, classification = outputs
+    H, W = kp.shape[1], kp.shape[2]
+    xym = coordinate_grid(H, W)
+
+    cls_l, reg_l = det_focal_loss(classification, regression, anchors,
+                                  targets.det_ann, cfg)
+    kp_l = kp_focal_loss(kp, targets.kp_tgt)
+    ae_l = ae_loss(ae, targets, xym, cfg)
+    tan_l = tangent_loss(tan, targets, cfg)
+
+    total = cls_l + reg_l + kp_l + ae_l + tan_l
+    stats = {
+        "cls_loss": cls_l, "wh_loss": reg_l, "kp_loss": kp_l,
+        "ae_loss": ae_l, "tan_loss": tan_l, "total_loss": total,
+    }
+    return total, stats

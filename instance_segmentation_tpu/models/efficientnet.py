@@ -1,0 +1,203 @@
+"""EfficientNet-B0..B8 backbone (feature-pyramid variant), flax/NHWC.
+
+Re-derivation of the standard EfficientNet family used by the reference
+(models/efficientnet/model.py, models/efficientnet/utils.py): compound scaling
+(width/depth coefficients, ref utils.py:138-153), the seven-stage MBConv stack
+(ref utils.py:235-240 block strings), squeeze-excite, and stochastic depth.
+
+The classifier head is omitted — this backbone exists to feed the detector and
+the U-Net decoder, returning the five feature maps snapshotted just before
+each stride-2 stage plus the final output (ref models/efficient.py:435-457):
+
+    P1 (/2, post-stage1) .. P4 (/16, post-stage5), P5 (/32, final).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from instance_segmentation_tpu.models.layers import (
+    BatchNorm, ConvSame, drop_connect, swish,
+)
+
+
+@dataclass(frozen=True)
+class BlockArgs:
+    kernel_size: int
+    num_repeat: int
+    input_filters: int
+    output_filters: int
+    expand_ratio: int
+    stride: int
+    se_ratio: float
+    id_skip: bool = True
+
+
+# The canonical 7-stage B0 architecture (ref utils.py:235-240).
+BASE_BLOCKS: Tuple[BlockArgs, ...] = (
+    BlockArgs(3, 1, 32, 16, 1, 1, 0.25),
+    BlockArgs(3, 2, 16, 24, 6, 2, 0.25),
+    BlockArgs(5, 2, 24, 40, 6, 2, 0.25),
+    BlockArgs(3, 3, 40, 80, 6, 2, 0.25),
+    BlockArgs(5, 3, 80, 112, 6, 1, 0.25),
+    BlockArgs(5, 4, 112, 192, 6, 2, 0.25),
+    BlockArgs(3, 1, 192, 320, 6, 1, 0.25),
+)
+
+# width, depth coefficients per variant (ref utils.py:138-153).
+SCALING = {
+    0: (1.0, 1.0), 1: (1.0, 1.1), 2: (1.1, 1.2), 3: (1.2, 1.4), 4: (1.4, 1.8),
+    5: (1.6, 2.2), 6: (1.8, 2.6), 7: (2.0, 3.1), 8: (2.2, 3.6),
+}
+
+
+def round_filters(filters: int, width_coefficient: float, divisor: int = 8) -> int:
+    """Width scaling with divisor rounding (ref utils.py:62-74)."""
+    filters *= width_coefficient
+    new_filters = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_filters < 0.9 * filters:
+        new_filters += divisor
+    return int(new_filters)
+
+
+def round_repeats(repeats: int, depth_coefficient: float) -> int:
+    """Depth scaling (ref utils.py:77-82)."""
+    return int(math.ceil(depth_coefficient * repeats))
+
+
+def scaled_blocks(variant: int) -> List[BlockArgs]:
+    w, d = SCALING[variant]
+    out = []
+    for b in BASE_BLOCKS:
+        out.append(BlockArgs(
+            kernel_size=b.kernel_size,
+            num_repeat=round_repeats(b.num_repeat, d),
+            input_filters=round_filters(b.input_filters, w),
+            output_filters=round_filters(b.output_filters, w),
+            expand_ratio=b.expand_ratio,
+            stride=b.stride,
+            se_ratio=b.se_ratio,
+        ))
+    return out
+
+
+def stem_filters(variant: int) -> int:
+    return round_filters(32, SCALING[variant][0])
+
+
+def feature_channels(variant: int) -> List[int]:
+    """Channels of [P1..P5] — the decoder/ BiFPN channel contract.
+
+    Matches the reference's per-variant tables (models/efficient.py:558-569
+    conv_channel_coef = channels of P3..P5; :596-606 = P5..P1 reversed).
+    """
+    blocks = scaled_blocks(variant)
+    # snapshot before each stride-2 stage (stages 1,2,3,5) + final output
+    chans = []
+    for i, b in enumerate(blocks):
+        if b.stride == 2 and i > 0:
+            chans.append(blocks[i - 1].output_filters)
+    chans.append(blocks[-1].output_filters)
+    return chans
+
+
+class SqueezeExcite(nn.Module):
+    squeezed: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = ConvSame(self.squeezed, (1, 1), dtype=self.dtype, name="reduce")(s)
+        s = swish(s)
+        s = ConvSame(c, (1, 1), dtype=self.dtype, name="expand")(s)
+        return jnp.asarray(nn.sigmoid(s), x.dtype) * x
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck (expand -> depthwise -> SE -> project).
+
+    Mirrors ref models/efficientnet/model.py:17-102 semantics, including the
+    skip + per-sample drop-connect on identity-shaped blocks.
+    """
+
+    args: BlockArgs
+    drop_rate: float = 0.0
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        a = self.args
+        inputs = x
+        expanded = a.input_filters * a.expand_ratio
+        if a.expand_ratio != 1:
+            x = ConvSame(expanded, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv")(x)
+            x = BatchNorm(axis_name=self.axis_name, name="bn0")(x, train=train)
+            x = swish(x)
+        k = a.kernel_size
+        x = ConvSame(expanded, (k, k), strides=(a.stride, a.stride), groups=expanded,
+                     use_bias=False, dtype=self.dtype, name="depthwise_conv")(x)
+        x = BatchNorm(axis_name=self.axis_name, name="bn1")(x, train=train)
+        x = swish(x)
+        if a.se_ratio and 0 < a.se_ratio <= 1:
+            x = SqueezeExcite(max(1, int(a.input_filters * a.se_ratio)),
+                              dtype=self.dtype, name="se")(x)
+        x = ConvSame(a.output_filters, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv")(x)
+        x = BatchNorm(axis_name=self.axis_name, name="bn2")(x, train=train)
+        if a.id_skip and a.stride == 1 and a.input_filters == a.output_filters:
+            if train and self.drop_rate > 0.0:
+                x = drop_connect(x, self.drop_rate, deterministic=False,
+                                 rng=self.make_rng("dropout"))
+            x = x + inputs
+        return x
+
+
+class EfficientNetFeatures(nn.Module):
+    """Backbone producing the five pyramid snapshots [P1..P5].
+
+    P_i is the activation just before the i-th stride-2 MBConv block (and the
+    final block output for P5), matching ref models/efficient.py:445-456 so a
+    converted torch checkpoint lands on identical tensors.
+    """
+
+    variant: int = 0
+    drop_connect_rate: float = 0.2
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
+        blocks = scaled_blocks(self.variant)
+        x = ConvSame(stem_filters(self.variant), (3, 3), strides=(2, 2), use_bias=False,
+                     dtype=self.dtype, name="stem_conv")(x)
+        x = BatchNorm(axis_name=self.axis_name, name="stem_bn")(x, train=train)
+        x = swish(x)
+
+        # flatten stages into the per-block list the reference iterates over
+        flat: List[BlockArgs] = []
+        for b in blocks:
+            flat.append(b)
+            for _ in range(b.num_repeat - 1):
+                flat.append(BlockArgs(b.kernel_size, 1, b.output_filters, b.output_filters,
+                                      b.expand_ratio, 1, b.se_ratio))
+        total = len(flat)
+
+        features: List[jnp.ndarray] = []
+        last_x = None
+        for idx, b in enumerate(flat):
+            rate = self.drop_connect_rate * idx / total
+            y = MBConv(b, drop_rate=rate, dtype=self.dtype, axis_name=self.axis_name,
+                       name=f"block{idx}")(x, train=train)
+            if b.stride == 2:
+                features.append(last_x)
+            x = y
+            last_x = x
+        features.append(x)
+        return features

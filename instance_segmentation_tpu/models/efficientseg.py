@@ -1,0 +1,124 @@
+"""EfficientSeg — the full single-stage instance-segmentation network.
+
+Re-design of ref models/efficient.py:544-651: EfficientNet backbone ->
+BiFPN (P3..P7) -> anchor box/class heads, plus the U-Net kp/ae/tan decoder
+over [input, P1..P5].
+
+Forward contract (matching ref :615-626):
+    kp, ae, tan, regression, classification = model(images)
+with
+    kp:  (B, H, W, 1)  float32 logits
+    ae:  (B, H, W, 4)  float32 (2 offsets + 2 log-sigmas)
+    tan: (B, H, W, 2)  float32
+    regression:     (B, A, 4)  (dy, dx, dh, dw)
+    classification: (B, A, C)  sigmoid scores, float32
+
+Anchors are *not* returned — they are a pure function of the (static) input
+shape (models/anchors.py), computed at trace time by callers.
+
+Input convention: NHWC uint8-or-float images; normalization (div 255,
+mean/std — ref configs/trans_cfg.json "normalize") happens HERE on device so
+the host pipeline ships uint8 and host->HBM traffic drops 4x.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from instance_segmentation_tpu.models.bifpn import BiFPN
+from instance_segmentation_tpu.models.efficientnet import EfficientNetFeatures, feature_channels
+from instance_segmentation_tpu.models.heads import Classifier, Regressor
+from instance_segmentation_tpu.models.unet_decoder import UNetDecoder
+
+# Per-compound-coefficient scaling tables (ref models/efficient.py:549-555).
+BACKBONE_COEF = [0, 1, 2, 3, 4, 5, 6, 6, 7]
+FPN_FILTERS = [64, 88, 112, 160, 224, 288, 384, 384, 384]
+FPN_REPEATS = [3, 4, 5, 6, 7, 7, 8, 8, 8]
+BOX_CLASS_REPEATS = [3, 3, 3, 4, 4, 4, 5, 5, 5]
+PYRAMID_LEVELS = [5, 5, 5, 5, 5, 5, 5, 5, 6]
+ANCHOR_SCALE = [4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0, 5.0, 4.0]
+INPUT_SIZES = [512, 640, 768, 896, 1024, 1280, 1280, 1536, 1536]
+
+DEFAULT_MEAN = (0.485, 0.456, 0.406)
+DEFAULT_STD = (0.229, 0.224, 0.225)
+
+
+@dataclass(frozen=True)
+class EfficientSegConfig:
+    num_classes: int = 8
+    compound_coef: int = 0
+    scales: Tuple[float, ...] = (2 ** 0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0))
+    ratios: Tuple[Tuple[float, float], ...] = ((1.0, 1.0), (1.4, 0.7), (0.7, 1.4))
+    compute_dtype: Any = jnp.float32
+    normalize_in_model: bool = True
+    mean: Tuple[float, ...] = DEFAULT_MEAN
+    std: Tuple[float, ...] = DEFAULT_STD
+    axis_name: Optional[str] = None
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.scales) * len(self.ratios)
+
+    @property
+    def pyramid_levels(self) -> Tuple[int, ...]:
+        return tuple(range(3, 3 + PYRAMID_LEVELS[self.compound_coef]))
+
+    @property
+    def anchor_scale(self) -> float:
+        return ANCHOR_SCALE[self.compound_coef]
+
+
+class EfficientSeg(nn.Module):
+    cfg: EfficientSegConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        c = self.cfg
+        coef = c.compound_coef
+        dtype = c.compute_dtype
+
+        x = images.astype(jnp.float32)
+        if c.normalize_in_model:
+            mean = jnp.asarray(c.mean, jnp.float32) * 255.0
+            std = jnp.asarray(c.std, jnp.float32) * 255.0
+            x = (x - mean) / std
+        x = x.astype(dtype)
+
+        backbone = EfficientNetFeatures(
+            variant=BACKBONE_COEF[coef], dtype=dtype, axis_name=c.axis_name,
+            name="backbone")
+        blocks = backbone(x, train=train)            # [P1..P5]
+
+        fpn_ch = FPN_FILTERS[coef]
+        feats = BiFPN(
+            num_channels=fpn_ch,
+            conv_channels=feature_channels(BACKBONE_COEF[coef])[2:5],
+            repeats=FPN_REPEATS[coef],
+            attention=coef < 6,
+            use_p8=coef > 7,
+            dtype=dtype, axis_name=c.axis_name, name="bifpn",
+        )(blocks[2:5], train=train)
+
+        regression = Regressor(
+            channels=fpn_ch, num_anchors=c.num_anchors,
+            num_layers=BOX_CLASS_REPEATS[coef],
+            pyramid_levels=PYRAMID_LEVELS[coef],
+            dtype=dtype, axis_name=c.axis_name, name="regressor",
+        )(feats, train=train).astype(jnp.float32)
+
+        classification = Classifier(
+            channels=fpn_ch, num_anchors=c.num_anchors, num_classes=c.num_classes,
+            num_layers=BOX_CLASS_REPEATS[coef],
+            pyramid_levels=PYRAMID_LEVELS[coef],
+            dtype=dtype, axis_name=c.axis_name, name="classifier",
+        )(feats, train=train)
+
+        kp, ae, tan = UNetDecoder(
+            dtype=dtype, axis_name=c.axis_name, name="kp_header",
+        )(x, blocks, train=train)
+
+        return kp, ae, tan, regression, classification

@@ -1,0 +1,88 @@
+"""U-Net dense decoder producing the kp / ae / tan heads at input resolution.
+
+Re-design of ref models/efficient.py:472-541 (`double_conv`, `up_conv`,
+`EfficientDecoder`): starting from P5, four (transpose-conv 2x2/s2 ->
+skip-concat -> two 3x3 conv+BN+ReLU) stages up through P4..P1, then an
+optional input-level stage concatenating the raw image, then 1x1 heads:
+
+    kp: 1 channel  (boundary-keypoint logits)
+    ae: 4 channels (2 spatial-embedding offsets + 2 log-sigmas)
+    tan: 2 channels (boundary tangent/normal field)
+
+This is the most FLOP-dense part of the network (full-resolution dense
+conv stack) and runs entirely in the compute dtype on the MXU.
+
+Note the BN here uses torch-default constants (momentum 0.1/eps 1e-5,
+ref :472-480), unlike the detector's 0.01/1e-3.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from instance_segmentation_tpu.models.layers import (
+    BN_EPS_UNET, BN_MOMENTUM_UNET, BatchNorm, ConvSame,
+)
+
+
+class DoubleConv(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        for i in range(2):
+            x = ConvSame(self.features, (3, 3), dtype=self.dtype, name=f"conv{i}")(x)
+            x = BatchNorm(momentum=BN_MOMENTUM_UNET, epsilon=BN_EPS_UNET,
+                          axis_name=self.axis_name, name=f"bn{i}")(x, train=train)
+            x = nn.relu(x)
+        return x
+
+
+class UpConv(nn.Module):
+    """2x2 stride-2 transpose conv — exact 2x upsampling (ref up_conv :483-486)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(self.features, kernel_size=(2, 2), strides=(2, 2),
+                                padding="VALID", dtype=self.dtype,
+                                param_dtype=jnp.float32, name="deconv")(x)
+
+
+class UNetDecoder(nn.Module):
+    """U-Net over backbone snapshots [P1..P5] (+ raw input), with dense heads."""
+
+    heads: Tuple[Tuple[str, int], ...] = (("kp", 1), ("ae", 4), ("tan", 2))
+    concat_input: bool = True
+    stage_channels: Tuple[int, ...] = (256, 128, 64, 32)
+    input_stage_channels: int = 16
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, blocks: List[jnp.ndarray],
+                 train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        x = blocks[-1]
+        for i, ch in enumerate(self.stage_channels):
+            x = UpConv(ch, dtype=self.dtype, name=f"up{i + 1}")(x)
+            skip = blocks[-(i + 2)]
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = DoubleConv(ch, dtype=self.dtype, axis_name=self.axis_name,
+                           name=f"double{i + 1}")(x, train=train)
+        if self.concat_input:
+            x = UpConv(self.input_stage_channels, dtype=self.dtype, name="up_input")(x)
+            x = jnp.concatenate([x, image.astype(x.dtype)], axis=-1)
+            x = DoubleConv(self.input_stage_channels, dtype=self.dtype,
+                           axis_name=self.axis_name, name="double_input")(x, train=train)
+        outs = []
+        for name, ch in self.heads:
+            y = ConvSame(ch, (1, 1), dtype=self.dtype, name=f"head_{name}")(x)
+            outs.append(y.astype(jnp.float32))
+        return tuple(outs)

@@ -1,0 +1,164 @@
+"""On-device, static-shape target generation.
+
+Re-design of ref utils/target_generator.py:292-318 (`generate_all_annotations`)
+— which the reference executes as per-instance numpy/cv2 Python loops on host
+*inside the loss on every training step* (models/loss.py:367), its main
+throughput bottleneck. Here the whole thing is vectorized jit code over padded
+label arrays, so targets render on the TPU in microseconds and never touch
+the host.
+
+Label packing convention (see data/packing.py):
+    polys:   f32 [M, V, 2]  (row, col), replication-padded vertices
+    n_verts: i32 [M]
+    cls_ids: i32 [M]        (-1 for padding instances)
+
+Produced targets (batch dims added by vmap):
+    det_ann: f32 [M, 5]     (x1, y1, x2, y2, cls) with -1 rows for padding
+                            (ref target_generator.py:295-307)
+    centers: f32 [M, 2]     box centers, (row, col) (ref :314)
+    points:  i32 [M, P, 2]  dense boundary samples, 2px max-norm spacing
+                            (ref dense_sample_polygon :235-271)
+    normals: f32 [M, P, 2]  inward unit normals per sample (ref :253-263)
+    pt_valid: bool [M, P]
+    kp_tgt:  f32 [H, W]     binary boundary mask = union of samples
+                            (ref generate_instance_mask :98-113 -> kp_annotations :311-312)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instance_segmentation_tpu.ops.geometry import point_in_polygon
+
+
+class Targets(NamedTuple):
+    det_ann: jnp.ndarray      # [B, M, 5]
+    centers: jnp.ndarray      # [B, M, 2] (row, col) float
+    inst_valid: jnp.ndarray   # [B, M] bool
+    points: jnp.ndarray       # [B, M, P, 2] int32 (row, col)
+    normals: jnp.ndarray      # [B, M, P, 2] float32
+    pt_valid: jnp.ndarray     # [B, M, P] bool
+    kp_tgt: jnp.ndarray       # [B, H, W] float32 binary
+
+
+def _sample_one_polygon(poly: jnp.ndarray, n_verts: jnp.ndarray,
+                        max_points: int, h: int, w: int):
+    """Dense boundary sampling of one replication-padded polygon.
+
+    Reproduces ref target_generator.py:235-271: walk each edge in steps of 2
+    pixels of max-norm distance, emitting the integer point and the edge's
+    inward unit normal; points within 2px of the border are dropped
+    (ref :261 `1 < p < h-2`).
+    """
+    v0 = poly                                  # [V, 2]
+    v1 = jnp.roll(poly, -1, axis=0)
+    d = v1 - v0                                # [V, 2] (drow, dcol)
+    max_dist = jnp.maximum(jnp.abs(d[:, 0]), jnp.abs(d[:, 1]))  # float [V]
+    # sample count per edge: len(range(0, int(max_dist), 2))
+    m_int = jnp.floor(max_dist).astype(jnp.int32)
+    n_samp = jnp.where(max_dist > 0, (m_int + 1) // 2, 0)       # [V]
+
+    # inward normal per edge (ref :253-263): n = (-dcol, drow), normalized,
+    # flipped if midpoint + n/|max(n)| falls outside the polygon.
+    normal = jnp.stack([-d[:, 1], d[:, 0]], axis=-1)
+    norm_len = jnp.clip(jnp.sqrt(jnp.sum(normal * normal, axis=-1, keepdims=True)),
+                        1e-4, None)
+    normal = normal / norm_len
+    step = normal / jnp.clip(jnp.abs(jnp.max(normal, axis=-1, keepdims=True)), 1e-8, None)
+    test_pts = (v0 + v1) / 2.0 + step                           # [V, 2]
+    inside = point_in_polygon(test_pts, poly)                   # [V]
+    normal = jnp.where(inside[:, None], normal, -normal)
+
+    cum = jnp.cumsum(n_samp)                                    # [V]
+    total = cum[-1]
+    slots = jnp.arange(max_points)
+    edge = jnp.searchsorted(cum, slots, side="right")           # [P]
+    edge_c = jnp.clip(edge, 0, poly.shape[0] - 1)
+    start = jnp.where(edge_c > 0, cum[edge_c - 1], 0)
+    k = (slots - start).astype(jnp.float32) * 2.0               # step along edge
+    md = jnp.maximum(max_dist[edge_c], 1e-8)
+    pts = v0[edge_c] + d[edge_c] / md[:, None] * k[:, None]     # [P, 2] float
+    nrm = normal[edge_c]
+
+    in_bounds = ((pts[:, 0] > 1) & (pts[:, 0] < h - 2) &
+                 (pts[:, 1] > 1) & (pts[:, 1] < w - 2))
+    valid = (slots < total) & in_bounds
+    pts_i = pts.astype(jnp.int32)                               # trunc == floor (coords >= 0)
+    return pts_i, nrm, valid
+
+
+def generate_targets(polys: jnp.ndarray, n_verts: jnp.ndarray, cls_ids: jnp.ndarray,
+                     h: int, w: int, max_points: int = 2048) -> Targets:
+    """Batch target generation. polys [B,M,V,2], n_verts [B,M], cls_ids [B,M]."""
+
+    inst_valid = cls_ids >= 0                                   # [B, M]
+
+    # det boxes from polygon extents; padding vertices replicate a valid vertex
+    # so min/max are exact (ref :295: boxes from polygon.min/max).
+    ymin = jnp.min(polys[..., 0], axis=-1)
+    ymax = jnp.max(polys[..., 0], axis=-1)
+    xmin = jnp.min(polys[..., 1], axis=-1)
+    xmax = jnp.max(polys[..., 1], axis=-1)
+    det = jnp.stack([xmin, ymin, xmax, ymax, cls_ids.astype(jnp.float32)], axis=-1)
+    det = jnp.where(inst_valid[..., None], det, -1.0)           # [B, M, 5]
+
+    centers = jnp.stack([(ymin + ymax) / 2.0, (xmin + xmax) / 2.0], axis=-1)  # [B,M,2]
+
+    sample = jax.vmap(jax.vmap(
+        lambda p, n: _sample_one_polygon(p, n, max_points, h, w)))
+    points, normals, pt_valid = sample(polys, n_verts)
+    pt_valid = pt_valid & inst_valid[..., None]
+
+    # binary boundary mask: scatter 1s at all valid sample pixels
+    # (ref generate_instance_mask :98-113; kp_annotations = mask >= 0 :312)
+    def _rasterize(pts, valid):
+        flat = pts.reshape(-1, 2)
+        vals = valid.reshape(-1).astype(jnp.float32)
+        img = jnp.zeros((h, w), jnp.float32)
+        safe = jnp.clip(flat, 0, jnp.array([h - 1, w - 1]))
+        return img.at[safe[:, 0], safe[:, 1]].max(vals)
+
+    kp_tgt = jax.vmap(_rasterize)(points, pt_valid)
+
+    return Targets(det_ann=det, centers=centers, inst_valid=inst_valid,
+                   points=points, normals=normals, pt_valid=pt_valid,
+                   kp_tgt=kp_tgt)
+
+
+def gaussian_window_target(points: jnp.ndarray, pt_valid: jnp.ndarray,
+                           h: int, w: int, radius: int = 3) -> jnp.ndarray:
+    """Gaussian-splatted keypoint target for ONE instance -> [h, w].
+
+    Equivalent to ref generate_kp_mask (target_generator.py:274-278): a
+    radius-3 CenterNet gaussian (sigma = diameter/6) max-splatted at every
+    boundary sample. Implemented scatter-light: scatter binary impulses, then
+    take the max over the (2r+1)^2 shifted copies weighted by the gaussian —
+    identical to per-point stamping but fully vectorized.
+    """
+    impulses = jnp.zeros((h, w), jnp.float32)
+    safe = jnp.clip(points, 0, jnp.array([h - 1, w - 1]))
+    impulses = impulses.at[safe[:, 0], safe[:, 1]].max(pt_valid.astype(jnp.float32))
+
+    diameter = 2 * radius + 1
+    sigma = diameter / 6.0
+    out = jnp.zeros((h, w), jnp.float32)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            g = math.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+            # shift impulses by (dy, dx): contribution of a point at p to p+(dy,dx)
+            shifted = jnp.roll(impulses, (dy, dx), axis=(0, 1))
+            # zero the wrapped rows/cols
+            if dy > 0:
+                shifted = shifted.at[:dy, :].set(0.0)
+            elif dy < 0:
+                shifted = shifted.at[dy:, :].set(0.0)
+            if dx > 0:
+                shifted = shifted.at[:, :dx].set(0.0)
+            elif dx < 0:
+                shifted = shifted.at[:, dx:].set(0.0)
+            out = jnp.maximum(out, g * shifted)
+    return out
