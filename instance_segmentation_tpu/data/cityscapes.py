@@ -1,0 +1,138 @@
+"""Cityscapes dataset: label table, polygon parsing, map-style dataset.
+
+Mirrors ref data/cityscapes.py: the standard 35-entry Cityscapes label table
+(public metadata from the Cityscapes benchmark), the 8 instance-evaluated
+classes, `gtFine_polygons.json` parsing into (cls_ids, polygons) with
+polygons as int32 (x, y) vertex arrays (ref :152-166), and directory walking
+over leftImg8bit/gtFine (ref :169-201).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import namedtuple
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+Label = namedtuple("Label", [
+    "name", "id", "trainId", "category", "categoryId",
+    "hasInstances", "ignoreInEval", "color",
+])
+
+# Standard Cityscapes label metadata (public benchmark definition).
+labels = [
+    Label("unlabeled",            0, 255, "void",         0, False, True,  (0, 0, 0)),
+    Label("ego vehicle",          1, 255, "void",         0, False, True,  (0, 0, 0)),
+    Label("rectification border", 2, 255, "void",         0, False, True,  (0, 0, 0)),
+    Label("out of roi",           3, 255, "void",         0, False, True,  (0, 0, 0)),
+    Label("static",               4, 255, "void",         0, False, True,  (0, 0, 0)),
+    Label("dynamic",              5, 255, "void",         0, False, True,  (111, 74, 0)),
+    Label("ground",               6, 255, "void",         0, False, True,  (81, 0, 81)),
+    Label("road",                 7, 0,   "flat",         1, False, False, (128, 64, 128)),
+    Label("sidewalk",             8, 1,   "flat",         1, False, False, (244, 35, 232)),
+    Label("parking",              9, 255, "flat",         1, False, True,  (250, 170, 160)),
+    Label("rail track",          10, 255, "flat",         1, False, True,  (230, 150, 140)),
+    Label("building",            11, 2,   "construction", 2, False, False, (70, 70, 70)),
+    Label("wall",                12, 3,   "construction", 2, False, False, (102, 102, 156)),
+    Label("fence",               13, 4,   "construction", 2, False, False, (190, 153, 153)),
+    Label("guard rail",          14, 255, "construction", 2, False, True,  (180, 165, 180)),
+    Label("bridge",              15, 255, "construction", 2, False, True,  (150, 100, 100)),
+    Label("tunnel",              16, 255, "construction", 2, False, True,  (150, 120, 90)),
+    Label("pole",                17, 5,   "object",       3, False, False, (153, 153, 153)),
+    Label("polegroup",           18, 255, "object",       3, False, True,  (153, 153, 153)),
+    Label("traffic light",       19, 6,   "object",       3, False, False, (250, 170, 30)),
+    Label("traffic sign",        20, 7,   "object",       3, False, False, (220, 220, 0)),
+    Label("vegetation",          21, 8,   "nature",       4, False, False, (107, 142, 35)),
+    Label("terrain",             22, 9,   "nature",       4, False, False, (152, 251, 152)),
+    Label("sky",                 23, 10,  "sky",          5, False, False, (70, 130, 180)),
+    Label("person",              24, 11,  "human",        6, True,  False, (220, 20, 60)),
+    Label("rider",               25, 12,  "human",        6, True,  False, (255, 0, 0)),
+    Label("car",                 26, 13,  "vehicle",      7, True,  False, (0, 0, 142)),
+    Label("truck",               27, 14,  "vehicle",      7, True,  False, (0, 0, 70)),
+    Label("bus",                 28, 15,  "vehicle",      7, True,  False, (0, 60, 100)),
+    Label("caravan",             29, 255, "vehicle",      7, True,  True,  (0, 0, 90)),
+    Label("trailer",             30, 255, "vehicle",      7, True,  True,  (0, 0, 110)),
+    Label("train",               31, 16,  "vehicle",      7, True,  False, (0, 80, 100)),
+    Label("motorcycle",          32, 17,  "vehicle",      7, True,  False, (0, 0, 230)),
+    Label("bicycle",             33, 18,  "vehicle",      7, True,  False, (119, 11, 32)),
+    Label("license plate",       -1, -1,  "vehicle",      7, False, True,  (0, 0, 142)),
+]
+
+name2label = {l.name: l for l in labels}
+id2label = {l.id: l for l in labels}
+
+# the 8 instance classes scored by the Cityscapes instance-level benchmark
+eval_labels = [l for l in labels if l.hasInstances and not l.ignoreInEval]
+name2index = {l.name: i for i, l in enumerate(eval_labels)}
+class_labels = [(i, l.name, l.id) for i, l in enumerate(eval_labels)]
+num_cls = len(eval_labels)
+
+IMAGE_EXTENSIONS = (".jpg", ".png")
+
+
+def is_image(filename: str) -> bool:
+    return filename.endswith(IMAGE_EXTENSIONS)
+
+
+def is_label_file(filename: str) -> bool:
+    return filename.endswith("gtFine_polygons.json")
+
+
+def load_rgb_image(path: str) -> np.ndarray:
+    img = cv2.imread(path)
+    if img is None:
+        raise ValueError(f"failed to load image: {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def parse_label_json(label_json: dict) -> Tuple[List[int], List[np.ndarray]]:
+    """gtFine polygons -> (cls_ids, [(x, y) int32 polygon arrays])."""
+    cls_ids, polygons = [], []
+    for obj in label_json.get("objects", []):
+        name = obj["label"]
+        if name not in name2index:
+            continue
+        cls_ids.append(name2index[name])
+        polygons.append(np.asarray(obj["polygon"], dtype=np.int32))
+    return cls_ids, polygons
+
+
+class CityscapesDataset:
+    """Map-style dataset over a Cityscapes directory tree."""
+
+    def __init__(self, root: str, transforms=None, subset: str = "train"):
+        self.images_root = os.path.join(root, "leftImg8bit", subset)
+        self.labels_root = os.path.join(root, "gtFine", subset)
+        self.filenames = sorted(
+            os.path.join(dp, f)
+            for dp, _, fn in os.walk(os.path.expanduser(self.images_root))
+            for f in fn if is_image(f))
+        self.filenames_gt = sorted(
+            os.path.join(dp, f)
+            for dp, _, fn in os.walk(os.path.expanduser(self.labels_root))
+            for f in fn if is_label_file(f))
+        self._transforms = transforms
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, index: int):
+        img_path = self.filenames[index]
+        img = load_rgb_image(img_path)
+        with open(self.filenames_gt[index], "r") as f:
+            label = parse_label_json(json.load(f))
+        if self._transforms is not None:
+            return self._transforms(img, label, img_path)
+        return img, label, None
+
+
+class CityscapesDatasetBuilder:
+    def __init__(self, data_dir: str, phase: str):
+        self._data_dir = data_dir
+        self._phase = phase
+
+    def get_dataset(self, **kwargs):
+        return CityscapesDataset(self._data_dir, subset=self._phase, **kwargs)

@@ -1,0 +1,136 @@
+"""Dataset registry + batched loader (ref data/__init__.py:18-102).
+
+`get_dataloader` returns an iterator of static-shape batches:
+
+    images:  uint8 [B, H, W, 3]
+    labels:  PackedLabels (padded polys/n_verts/cls_ids) or None
+    infos:   list[TransInfo]
+
+replacing the reference's torch DataLoader + ragged-list collate
+(ref :42-64). A background thread prefetches the next batch while the
+device is busy (double buffering; the reference used DataLoader workers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from instance_segmentation_tpu.data import cityscapes, coco
+from instance_segmentation_tpu.data.cityscapes import CityscapesDatasetBuilder
+from instance_segmentation_tpu.data.coco import COCODatasetBuilder
+from instance_segmentation_tpu.data.dataset import is_train_phase
+from instance_segmentation_tpu.data.dir import DirDatasetBuilder
+from instance_segmentation_tpu.data.packing import PackedLabels, pack_batch
+
+datasetBuildersMap = {
+    "cityscapes": CityscapesDatasetBuilder,
+    "coco": COCODatasetBuilder,
+    "dir": DirDatasetBuilder,
+}
+
+datasetClsNumMap = {
+    "cityscapes": cityscapes.num_cls,
+    "coco": coco.num_cls,
+}
+
+datasetEvalLabelMap = {
+    "cityscapes": cityscapes.class_labels,
+}
+
+
+def get_eval_labels(dataset_type: str):
+    return datasetEvalLabelMap[dataset_type]
+
+
+def get_cls_num(dataset_type: str) -> int:
+    return datasetClsNumMap[dataset_type]
+
+
+class BatchLoader:
+    """Iterable over packed batches with optional shuffling and prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool, drop_last: bool,
+                 max_instances: int, max_verts: int, with_label: bool = True,
+                 seed: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.max_instances = max_instances
+        self.max_verts = max_verts
+        self.with_label = with_label
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, indices) -> tuple:
+        images, labels, infos = [], [], []
+        for i in indices:
+            img, label, info = self.dataset[i]
+            images.append(np.ascontiguousarray(img))
+            labels.append(label)
+            infos.append(info)
+        images = np.stack(images)
+        packed: Optional[PackedLabels] = None
+        if self.with_label and labels[0] is not None:
+            packed = pack_batch(labels, self.max_instances, self.max_verts)
+        return images, packed, infos
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for s in range(0, n, self.batch_size):
+            chunk = order[s:s + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                return
+            yield chunk
+
+    def __iter__(self) -> Iterator:
+        if self.prefetch <= 0:
+            for idx in self._index_batches():
+                yield self._make_batch(idx)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for idx in self._index_batches():
+                    q.put(self._make_batch(idx))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+def get_dataloader(batch_size: int, dataset_type: str, data_dir: str, phase: str,
+                   transforms=None, max_instances: int = 96, max_verts: int = 256,
+                   random: bool = True, with_label: bool = True, seed: int = 0,
+                   prefetch: int = 2) -> BatchLoader:
+    builder_cls = datasetBuildersMap[dataset_type]
+    builder = builder_cls(data_dir, phase)
+    dataset = builder.get_dataset(transforms=transforms)
+    train = is_train_phase(phase)
+    return BatchLoader(
+        dataset, batch_size,
+        shuffle=train and random, drop_last=train,
+        max_instances=max_instances, max_verts=max_verts,
+        with_label=with_label, seed=seed, prefetch=prefetch)
