@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark: Cityscapes-frame inference + fully on-device decode, img/s/chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+Workload (the reference's shipped config): EfficientSeg-B3 at 512x1024
+(each processed frame is a 1024x2048 Cityscapes image resized x1/2,
+ref configs/trans_cfg.json), bf16 compute, batch 1, followed by the FULL
+decode — box decode + class-aware NMS + top-20k boundary peaks + Gaussian
+affinity grouping + polygon assembly — all on device (ops/decode.py). The
+timed unit is "original frame in -> packed instance polygons on device".
+
+vs_baseline compares against the measured PyTorch reference throughput in
+BENCH_BASELINE.json (tools/bench_reference_torch.py — reference forward
+ONLY, on this host's CPU since no CUDA device exists here; its decode stage
+is excluded, which favours the reference).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main():
+    os.environ.setdefault("ISEG_JIT_CACHE", "/tmp/iseg_jit_cache")
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["ISEG_JIT_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instance_segmentation_tpu.models import (
+        EfficientSeg, EfficientSegConfig, generate_anchors,
+    )
+    from instance_segmentation_tpu.ops.decode import DecodeConfig, decode_output
+
+    H, W = 512, 1024
+    ORIG_H, ORIG_W = 1024, 2048
+    BATCH = 1
+    COMPOUND = 3
+
+    cfg = EfficientSegConfig(num_classes=8, compound_coef=COMPOUND,
+                             compute_dtype=jnp.bfloat16)
+    model = EfficientSeg(cfg)
+    rng = jax.random.PRNGKey(0)
+    images = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (BATCH, H, W, 3), dtype=np.uint8))
+    variables = jax.jit(lambda r: model.init({"params": r}, images, train=False))(rng)
+
+    anchors = jnp.asarray(generate_anchors(
+        H, W, pyramid_levels=cfg.pyramid_levels, anchor_scale=cfg.anchor_scale,
+        scales=cfg.scales, ratios=cfg.ratios))
+    dcfg = DecodeConfig()  # shipped decode_cfg.yaml values
+
+    @jax.jit
+    def infer(params, batch_stats, images):
+        outputs = model.apply({"params": params, "batch_stats": batch_stats},
+                              images, train=False)
+        return decode_output(outputs, anchors, ORIG_H, ORIG_W, 2.0, dcfg)
+
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    # warmup / compile
+    dets = infer(params, batch_stats, images)
+    jax.block_until_ready(dets)
+
+    iters = 30
+    t = time.time()
+    for _ in range(iters):
+        dets = infer(params, batch_stats, images)
+    jax.block_until_ready(dets)
+    dt = (time.time() - t) / (iters * BATCH)
+    imgs_per_sec = 1.0 / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = imgs_per_sec / float(base["value"])
+
+    print(json.dumps({
+        "metric": "cityscapes_1024x2048_infer_decode_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "img/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

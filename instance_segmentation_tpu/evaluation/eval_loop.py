@@ -1,0 +1,211 @@
+"""Evaluation pipeline: inference + on-device decode -> dets json -> AP.
+
+Protocol parity with ref utils/eval_util.py:
+  * dets cached to "{epoch}_dets.json" / "{epoch}_infos.json" and reused when
+    present (ref :36-47);
+  * per-detection records are (cls_id, score, center(x,y), polygon(x,y))
+    tuples at original resolution (ref decode_single :441);
+  * official Cityscapes result files (results/<base>_<cls>_<k>.png +
+    <base>pred.txt, CITYSCAPES_* env vars) are written when the official
+    `cityscapesscripts` package is importable (ref :74-127) — otherwise the
+    native AP implementation (cityscapes_ap.py) scores the same records.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instance_segmentation_tpu import data as data_mod
+from instance_segmentation_tpu.data.cityscapes import parse_label_json
+from instance_segmentation_tpu.evaluation.cityscapes_ap import (
+    InstanceGT, InstancePrediction, compute_instance_ap,
+)
+from instance_segmentation_tpu.models.anchors import generate_anchors
+from instance_segmentation_tpu.ops.decode import DecodeConfig, decode_output
+
+
+class NpEncoder(json.JSONEncoder):
+    def default(self, obj):
+        if isinstance(obj, np.integer):
+            return int(obj)
+        if isinstance(obj, np.floating):
+            return float(obj)
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        return super().default(obj)
+
+
+def decode_cfg_from(cfg) -> DecodeConfig:
+    return DecodeConfig(
+        cls_th=float(cfg.cls_th), iou_th=float(cfg.iou_th),
+        kp_th=int(cfg.kp_th), obj_pixel_th=int(cfg.obj_pixel_th),
+        wh_delta=float(cfg.wh_delta))
+
+
+def detections_to_json(dets, infos) -> List[List]:
+    """Packed device Detections -> reference-format per-image det lists."""
+    out = []
+    boxes = np.asarray(dets.scores)
+    classes = np.asarray(dets.classes)
+    scores = np.asarray(dets.scores)
+    centers = np.asarray(dets.centers)
+    polys = np.asarray(dets.polygons)
+    lens = np.asarray(dets.poly_len)
+    ok = np.asarray(dets.obj_valid)
+    for b in range(scores.shape[0]):
+        img_dets = []
+        for d in np.nonzero(ok[b])[0]:
+            img_dets.append([
+                int(classes[b, d]), float(scores[b, d]),
+                centers[b, d].tolist(),
+                polys[b, d, : lens[b, d]].tolist(),
+            ])
+        out.append(img_dets)
+    return out
+
+
+def _gt_path_for_image(img_path: str) -> Optional[str]:
+    """leftImg8bit image path -> gtFine polygons json path."""
+    if "leftImg8bit" not in img_path:
+        return None
+    p = img_path.replace("leftImg8bit/", "gtFine/", 1)
+    p = p.replace("_leftImg8bit.png", "_gtFine_polygons.json")
+    p = p.replace("_leftImg8bit.jpg", "_gtFine_polygons.json")
+    return p if os.path.exists(p) else None
+
+
+def eval_outputs(output_dir: str, eval_loader, model, state, epoch: int,
+                 decode_cfg, logger, input_hw: Tuple[int, int],
+                 orig_hw: Tuple[int, int] = (1024, 2048)):
+    """Inference + decode over the loader, cached to json (ref :35-71)."""
+    dets_path = os.path.join(output_dir, f"{epoch}_dets.json")
+    infos_path = os.path.join(output_dir, f"{epoch}_infos.json")
+    if os.path.exists(dets_path) and os.path.exists(infos_path):
+        return dets_path, infos_path
+
+    h, w = input_hw
+    mc = model.cfg
+    anchors = jnp.asarray(generate_anchors(
+        h, w, pyramid_levels=mc.pyramid_levels, anchor_scale=mc.anchor_scale,
+        scales=mc.scales, ratios=mc.ratios))
+    dcfg = decode_cfg_from(decode_cfg)
+    scale_int = round(orig_hw[0] / h)
+
+    @jax.jit
+    def infer(params, batch_stats, images):
+        outputs = model.apply({"params": params, "batch_stats": batch_stats},
+                              images, train=False)
+        return decode_output(outputs, anchors, orig_hw[0], orig_hw[1],
+                             float(scale_int), dcfg)
+
+    all_dets, all_infos = [], []
+    for images, _, infos in eval_loader:
+        dets = infer(state.params, state.batch_stats, images)
+        all_dets.extend(detections_to_json(dets, infos))
+        all_infos.extend([(i.img_path, list(i.img_size)) for i in infos])
+    logger.write(f"[{epoch}] finish evaluate step ({len(all_dets)} images)")
+
+    with open(dets_path, "w") as f:
+        f.write(json.dumps(all_dets, cls=NpEncoder))
+    with open(infos_path, "w") as f:
+        f.write(json.dumps(all_infos, cls=NpEncoder))
+    return dets_path, infos_path
+
+
+def evaluate_from_json(data_cfg, epoch: int, output_dir: str, dataset: str,
+                       logger, num_classes: int):
+    """Score cached detections. Uses the official cityscapesscripts harness
+    when available; otherwise the native AP implementation."""
+    with open(os.path.join(output_dir, f"{epoch}_dets.json")) as f:
+        dets_list = json.load(f)
+    with open(os.path.join(output_dir, f"{epoch}_infos.json")) as f:
+        info_list = json.load(f)
+
+    predictions: List[InstancePrediction] = []
+    ground_truth: List[InstanceGT] = []
+    image_sizes: Dict[str, Tuple[int, int]] = {}
+
+    for dets, info in zip(dets_list, info_list):
+        img_path, img_size = info[0], tuple(info[1])
+        image_sizes[img_path] = img_size
+        for det in dets:
+            cls_id, score, _center, polygon = det
+            predictions.append(InstancePrediction(
+                image_id=img_path, cls_id=int(cls_id), score=float(score),
+                polygon=np.asarray(polygon, np.float32)))
+        gt_path = _gt_path_for_image(img_path)
+        if gt_path is not None:
+            with open(gt_path) as f:
+                cls_ids, polys = parse_label_json(json.load(f))
+            for c, p in zip(cls_ids, polys):
+                ground_truth.append(InstanceGT(
+                    image_id=img_path, cls_id=int(c),
+                    polygon=np.asarray(p, np.float32)))
+
+    results = compute_instance_ap(predictions, ground_truth, image_sizes,
+                                  num_classes)
+    logger.write(f"[{epoch}] AP={results['AP']:.4f} AP50={results['AP50']:.4f}")
+    for c, vals in results["classes"].items():
+        logger.write(f"  class {c}: AP={vals['AP']:.4f} AP50={vals['AP50']:.4f}")
+
+    _maybe_official_eval(data_cfg, epoch, output_dir, dataset, logger,
+                         dets_list, info_list, num_classes)
+    return results
+
+
+def _maybe_official_eval(data_cfg, epoch, output_dir, dataset, logger,
+                         dets_list, info_list, num_classes):
+    """Write official result files + run cityscapesscripts if importable
+    (golden harness, ref eval_util.py:74-127)."""
+    try:
+        import cityscapesscripts  # noqa: F401
+    except ImportError:
+        return
+    eval_labels = data_mod.get_eval_labels(dataset)
+    label_names = [l[1] for l in eval_labels]
+    label_ids = [l[2] for l in eval_labels]
+    results_dir = os.path.join(output_dir, "results")
+    os.makedirs(results_dir, exist_ok=True)
+    os.environ["CITYSCAPES_DATASET"] = data_cfg.get("eval_dir") or data_cfg.get("train_dir")
+    os.environ["CITYSCAPES_RESULTS"] = output_dir
+    import cityscapesscripts.evaluation.evalInstanceLevelSemanticLabeling as cs_eval
+
+    for dets, info in zip(dets_list, info_list):
+        img_path, img_size = info[0], tuple(info[1])
+        base = os.path.splitext(os.path.basename(img_path))[0]
+        with open(os.path.join(output_dir, base + "pred.txt"), "w") as fid:
+            for j in range(num_classes):
+                for k, det in enumerate(dets):
+                    cls_id, score, _c, polygon = det
+                    if int(cls_id) != j:
+                        continue
+                    mask = np.zeros(img_size, np.uint8)
+                    cv2.fillPoly(mask, [np.asarray(polygon, np.float32).astype(np.int32)], 1)
+                    png = os.path.join("results", f"{base}_{label_names[j]}_{k}.png")
+                    fid.write(f"{png} {label_ids[j]} {score}\n")
+                    cv2.imwrite(os.path.join(output_dir, png), mask * 255)
+    logger.write("running official cityscapesscripts evaluation...")
+    cs_eval.main()
+
+
+def evaluate_model(data_cfg, eval_loader, transforms, model, state, epoch: int,
+                   dataset: str, decode_cfg, logger,
+                   input_hw: Tuple[int, int] = (512, 1024),
+                   orig_hw: Tuple[int, int] = (1024, 2048)):
+    """Full eval (ref evaluate_model :130-133). Returns (epoch, mAP, results)."""
+    out_dir = data_cfg.save_dir
+    num_classes = data_cfg.num_classes
+    if num_classes == -1:
+        num_classes = data_mod.get_cls_num(dataset)
+    eval_outputs(out_dir, eval_loader, model, state, epoch, decode_cfg, logger,
+                 input_hw, orig_hw)
+    results = evaluate_from_json(data_cfg, epoch, out_dir, dataset, logger,
+                                 num_classes)
+    return epoch, results["AP"], results

@@ -136,8 +136,9 @@ def gaussian_window_target(points: jnp.ndarray, pt_valid: jnp.ndarray,
     Equivalent to ref generate_kp_mask (target_generator.py:274-278): a
     radius-3 CenterNet gaussian (sigma = diameter/6) max-splatted at every
     boundary sample. Implemented scatter-light: scatter binary impulses, then
-    take the max over the (2r+1)^2 shifted copies weighted by the gaussian —
-    identical to per-point stamping but fully vectorized.
+    max over gaussian-weighted shifts. Because the gaussian factorizes and
+    the impulses are non-negative, the 2D max-splat separates exactly into a
+    column pass then a row pass (2*(2r+1) shifts instead of (2r+1)^2).
     """
     impulses = jnp.zeros((h, w), jnp.float32)
     safe = jnp.clip(points, 0, jnp.array([h - 1, w - 1]))
@@ -145,20 +146,23 @@ def gaussian_window_target(points: jnp.ndarray, pt_valid: jnp.ndarray,
 
     diameter = 2 * radius + 1
     sigma = diameter / 6.0
-    out = jnp.zeros((h, w), jnp.float32)
+
+    def _shift(x, d, axis):
+        y = jnp.roll(x, d, axis=axis)
+        idx = [slice(None), slice(None)]
+        idx[axis] = slice(0, d) if d > 0 else slice(d, None)
+        return y.at[tuple(idx)].set(0.0) if d != 0 else y
+
+    tmp = impulses
+    for dx in range(-radius, radius + 1):
+        if dx == 0:
+            continue
+        g = math.exp(-(dx * dx) / (2.0 * sigma * sigma))
+        tmp = jnp.maximum(tmp, g * _shift(impulses, dx, axis=1))
+    out = tmp
     for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            g = math.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
-            # shift impulses by (dy, dx): contribution of a point at p to p+(dy,dx)
-            shifted = jnp.roll(impulses, (dy, dx), axis=(0, 1))
-            # zero the wrapped rows/cols
-            if dy > 0:
-                shifted = shifted.at[:dy, :].set(0.0)
-            elif dy < 0:
-                shifted = shifted.at[dy:, :].set(0.0)
-            if dx > 0:
-                shifted = shifted.at[:, :dx].set(0.0)
-            elif dx < 0:
-                shifted = shifted.at[:, dx:].set(0.0)
-            out = jnp.maximum(out, g * shifted)
+        if dy == 0:
+            continue
+        g = math.exp(-(dy * dy) / (2.0 * sigma * sigma))
+        out = jnp.maximum(out, g * _shift(tmp, dy, axis=0))
     return out

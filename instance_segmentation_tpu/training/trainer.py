@@ -1,0 +1,149 @@
+"""Training driver.
+
+Capability parity with ref train.py:172-271 (epoch loop, per-iter loss/timing
+meters, periodic + per-epoch async checkpoints, auto-resume, eval after
+start_eval_epoch), re-designed around one compiled train step: the host only
+loads data, feeds the device, and logs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instance_segmentation_tpu import data as data_mod
+from instance_segmentation_tpu.configs import Config, Configer, parse_anchor_expr, static_shapes_from
+from instance_segmentation_tpu.losses import LossConfig
+from instance_segmentation_tpu.models import EfficientSeg, EfficientSegConfig
+from instance_segmentation_tpu.parallel import create_train_state, make_train_step
+from instance_segmentation_tpu.parallel.train_step import make_optimizer
+from instance_segmentation_tpu.transforms import CommonTransforms
+from instance_segmentation_tpu.utils.checkpoint import CheckpointManager
+from instance_segmentation_tpu.utils.logger import Logger
+from instance_segmentation_tpu.utils.meters import AverageMeter
+
+LOSS_NAMES = ("cls_loss", "wh_loss", "kp_loss", "ae_loss", "tan_loss", "total_loss")
+
+
+class Trainer:
+    def __init__(self, cfg: Config, decode_cfg: Config, trans_cfg: Configer,
+                 logger: Optional[Logger] = None):
+        self.cfg = cfg
+        self.decode_cfg = decode_cfg
+        self.trans_cfg = trans_cfg
+        self.data_cfg = cfg.data
+        self.logger = logger or Logger.get_logger()
+        self.static = static_shapes_from(cfg)
+
+        num_classes = self.data_cfg.num_classes
+        if num_classes == -1:
+            num_classes = data_mod.get_cls_num(self.data_cfg.dataset)
+        self.num_classes = num_classes
+
+        tpu_cfg = cfg.get("tpu")
+        self.input_hw = tuple(tpu_cfg.input_size) if tpu_cfg else (512, 1024)
+        dtype = jnp.bfloat16
+        if tpu_cfg and tpu_cfg.get("compute_dtype") == "float32":
+            dtype = jnp.float32
+
+        scales = tuple(parse_anchor_expr(cfg.anchors_scales))
+        ratios = tuple(tuple(r) for r in parse_anchor_expr(cfg.anchors_ratios))
+        self.model_cfg = EfficientSegConfig(
+            num_classes=num_classes, compound_coef=cfg.compound_coef,
+            scales=scales, ratios=ratios, compute_dtype=dtype)
+        self.model = EfficientSeg(self.model_cfg)
+
+        opt = cfg.optimizer
+        lr = float(parse_anchor_expr(opt.lr)) if isinstance(opt.lr, str) else float(opt.lr)
+        self.tx = make_optimizer(opt.type, lr, momentum=float(opt.get("momentum", 0.9)))
+
+        h, w = self.input_hw
+        self.state = create_train_state(
+            self.model, jax.random.PRNGKey(cfg.seed), (1, h, w, 3), self.tx)
+        self.ckpt = CheckpointManager(self.data_cfg.save_dir)
+        self.state, self.start_epoch, self.best_ap = self.ckpt.restore_latest(self.state)
+        if self.start_epoch > 0:
+            self.logger.write(f"resumed from epoch {self.start_epoch - 1}, best_ap={self.best_ap}")
+
+        self.train_step = make_train_step(
+            self.model, h, w, LossConfig(), max_points=self.static.max_points)
+        self._rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    # ------------------------------------------------------------------
+    def make_loaders(self):
+        train_tf = CommonTransforms(self.trans_cfg, "train", seed=self.cfg.seed)
+        eval_tf = CommonTransforms(self.trans_cfg, "val", seed=self.cfg.seed)
+        train_loader = data_mod.get_dataloader(
+            self.data_cfg.batch_size, self.data_cfg.dataset, self.data_cfg.train_dir,
+            phase="train", transforms=train_tf,
+            max_instances=self.static.max_instances, max_verts=self.static.max_vertices,
+            seed=self.cfg.seed)
+        eval_loader = data_mod.get_dataloader(
+            self.data_cfg.batch_size, self.data_cfg.dataset, self.data_cfg.train_dir,
+            phase="val", transforms=eval_tf,
+            max_instances=self.static.max_instances, max_verts=self.static.max_vertices,
+            seed=self.cfg.seed)
+        return train_loader, eval_loader, train_tf, eval_tf
+
+    def train_epoch(self, loader, epoch: int):
+        num_iter = len(loader)
+        if self.cfg.max_iter > 0:
+            num_iter = min(num_iter, self.cfg.max_iter)
+        data_time, batch_time = AverageMeter(), AverageMeter()
+        running = AverageMeter()
+        avg = {k: AverageMeter() for k in LOSS_NAMES}
+        start = last = time.time()
+
+        for iter_id, (images, packed, infos) in enumerate(loader):
+            if iter_id >= num_iter:
+                break
+            data_time.update(time.time() - last)
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, stats = self.train_step(
+                self.state, images, packed.polys, packed.n_verts, packed.cls_ids,
+                step_rng)
+            total = float(stats["total_loss"])  # syncs the step
+            batch_time.update(time.time() - last)
+            last = time.time()
+
+            running.update(total, images.shape[0])
+            msg = (f"train per epoch: [{epoch}][{iter_id}/{num_iter}]"
+                   f"|Tot: {last - start:.1f}")
+            for k in LOSS_NAMES:
+                avg[k].update(float(stats[k]), images.shape[0])
+                msg += f"|{k}:{avg[k].avg:.4f}"
+            msg += f"|Data {data_time.val:.3f}s({data_time.avg:.3f}s)|Net {batch_time.avg:.3f}s"
+            self.logger.write(msg, level=1)
+
+            if (iter_id + 1) % self.cfg.save_span == 0:
+                self.ckpt.save(self.state, epoch, running.avg, iter_id)
+        return running, avg
+
+    def write_metric(self, metric, epoch: int, phase: str):
+        line = f"{phase} : [{epoch}/{self.cfg.num_epochs}]|"
+        for k, v in metric.items():
+            self.logger.scalar_summary(f"{phase}/{k}", v.avg, epoch)
+            line += f"{k} {v.avg:8f} | "
+        self.logger.write(line)
+
+    def train(self):
+        train_loader, eval_loader, _, eval_tf = self.make_loaders()
+        for epoch in range(self.start_epoch, self.cfg.num_epochs):
+            _, avg = self.train_epoch(train_loader, epoch)
+            self.write_metric(avg, epoch, "train")
+            self.ckpt.save(self.state, epoch, self.best_ap)
+
+            if epoch >= self.cfg.start_eval_epoch:
+                from instance_segmentation_tpu.evaluation import evaluate_model
+                _, mAP, _ = evaluate_model(
+                    self.data_cfg, eval_loader, eval_tf, self.model, self.state,
+                    epoch, self.data_cfg.dataset, self.decode_cfg, self.logger,
+                    input_hw=self.input_hw)
+                if self.best_ap < mAP:
+                    self.best_ap = mAP
+        self.logger.write(f"the best mAP:{self.best_ap}")
+        self.ckpt.wait()

@@ -1,0 +1,91 @@
+"""Async checkpoint save/resume.
+
+Capability parity with the reference's checkpointing (ref train.py:80-152:
+{'state_dict', 'epoch', 'best_ap'} dicts, filenames
+efficient_weights_{epoch:0>8}.pth / ..._{epoch:0>4}_{iter:0>4}.pth, async
+3-worker thread pool, resume from the lexicographically-latest file,
+non-strict load). Implemented with orbax's async checkpointer over the flax
+pytree state — multi-host/sharded-array safe, unlike torch.save.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_NAME_RE = re.compile(r"^efficient_weights_(\d{8})$|^efficient_weights_(\d{4})_(\d{4})$")
+
+
+def _ckpt_name(epoch: int, iter_id: Optional[int] = None) -> str:
+    if iter_id is None:
+        return f"efficient_weights_{epoch:08d}"
+    return f"efficient_weights_{epoch:04d}_{iter_id:04d}"
+
+
+class CheckpointManager:
+    """Async orbax checkpointing of {state, epoch, best_ap}."""
+
+    def __init__(self, save_dir: str):
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, state: Any, epoch: int, best_ap: float,
+             iter_id: Optional[int] = None) -> str:
+        path = os.path.join(self.save_dir, _ckpt_name(epoch if epoch >= 0 else 0, iter_id))
+        payload = {
+            "state": jax.device_get(_savable(state)),
+            "meta": {"epoch": np.int32(epoch), "best_ap": np.float32(best_ap)},
+        }
+        self._ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+        return path
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+    def list_checkpoints(self):
+        out = []
+        if not os.path.isdir(self.save_dir):
+            return out
+        for name in os.listdir(self.save_dir):
+            if _NAME_RE.match(name) and os.path.isdir(os.path.join(self.save_dir, name)):
+                out.append(name)
+        return sorted(out)
+
+    def restore_latest(self, state_template: Any) -> Tuple[Any, int, float]:
+        """Restore the latest checkpoint into the template's structure.
+
+        Returns (state, start_epoch, best_ap); (template, 0, 0.0) when no
+        checkpoint exists (ref load_state_dict train.py:119-152).
+        """
+        names = self.list_checkpoints()
+        if not names:
+            return state_template, 0, 0.0
+        path = os.path.join(self.save_dir, names[-1])
+        template = {
+            "state": jax.device_get(_savable(state_template)),
+            "meta": {"epoch": np.int32(0), "best_ap": np.float32(0.0)},
+        }
+        ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+        payload = ckptr.restore(path, args=ocp.args.StandardRestore(template))
+        state = _load_into(state_template, payload["state"])
+        epoch = int(payload["meta"]["epoch"])
+        best_ap = float(payload["meta"]["best_ap"])
+        return state, epoch + 1, best_ap
+
+
+def _savable(state: Any):
+    """Strip non-pytree fields (the optax transformation) from TrainState."""
+    return {"step": state.step, "params": state.params,
+            "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+
+
+def _load_into(template: Any, loaded: dict):
+    return template.replace(step=loaded["step"], params=loaded["params"],
+                            batch_stats=loaded["batch_stats"],
+                            opt_state=loaded["opt_state"])

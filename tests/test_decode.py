@@ -1,0 +1,169 @@
+"""Decode pipeline unit tests: NMS, peak selection, grouping, assembly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from instance_segmentation_tpu.ops.decode import (
+    DecodeConfig, Detections, bbox_transform, decode_boxes, decode_output,
+    greedy_nms, select_peaks,
+)
+from instance_segmentation_tpu.ops.geometry import (
+    point_in_polygon, polygon_area, rasterize_polygon,
+)
+
+
+def nms_oracle(boxes, scores, th):
+    """Classic greedy NMS (ref utils/nms.py:11-39 semantics, strict >)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    sup = np.zeros(len(boxes), bool)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or sup[j]:
+                continue
+            x1 = max(boxes[i, 0], boxes[j, 0]); y1 = max(boxes[i, 1], boxes[j, 1])
+            x2 = min(boxes[i, 2], boxes[j, 2]); y2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0, x2 - x1) * max(0, y2 - y1)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a + b - inter, 1e-8) > th:
+                sup[j] = True
+    return sorted(keep)
+
+
+def test_greedy_nms_matches_oracle():
+    rng = np.random.default_rng(1)
+    n = 64
+    xy = rng.uniform(0, 80, size=(n, 2))
+    wh = rng.uniform(5, 30, size=(n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0.1, 1.0, size=n).astype(np.float32)
+    order = np.argsort(-scores)
+    sorted_boxes = boxes[order]
+    keep = jax.jit(lambda b, v: greedy_nms(b, v, 0.3))(
+        jnp.asarray(sorted_boxes), jnp.ones(n, bool))
+    got = sorted(order[np.asarray(keep)])
+    want = nms_oracle(boxes, scores, 0.3)
+    assert got == want
+
+
+def test_bbox_transform_identity():
+    anchors = jnp.asarray([[10.0, 20.0, 50.0, 60.0]])  # y1,x1,y2,x2
+    zeros = jnp.zeros((1, 4))
+    out = np.asarray(bbox_transform(anchors, zeros, 128, 128))
+    np.testing.assert_allclose(out[0], [20, 10, 60, 50], atol=1e-5)  # x1,y1,x2,y2
+
+
+def test_select_peaks():
+    hm = np.zeros((32, 48), np.float32)
+    hm[5, 7] = 3.0
+    hm[5, 8] = 2.0     # adjacent, lower -> not a peak
+    hm[20, 30] = 4.0
+    idx, ok = jax.jit(lambda h: select_peaks(h, 16))(jnp.asarray(hm))
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    peaks = set(map(int, idx[ok]))
+    assert 5 * 48 + 7 in peaks
+    assert 20 * 48 + 30 in peaks
+    assert 5 * 48 + 8 not in peaks
+
+
+def test_point_in_polygon_and_area():
+    sq = jnp.asarray([[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0]])
+    assert bool(point_in_polygon(jnp.asarray([5.0, 5.0]), sq))
+    assert not bool(point_in_polygon(jnp.asarray([15.0, 5.0]), sq))
+    assert float(polygon_area(sq, jnp.int32(4))) == 100.0
+
+
+def test_rasterize_polygon_matches_fillpoly():
+    import cv2
+    poly_rc = np.array([[3, 4], [3, 20], [15, 24], [18, 6]], np.float32)
+    mask = np.asarray(jax.jit(lambda p: rasterize_polygon(p, 24, 32))(jnp.asarray(poly_rc)))
+    ref = np.zeros((24, 32), np.uint8)
+    cv2.fillPoly(ref, [poly_rc[:, ::-1].astype(np.int32)], 1)
+    # allow a 1-px boundary band of disagreement (different edge conventions)
+    diff = mask.astype(int) - ref.astype(int)
+    interior = cv2.erode(ref, np.ones((3, 3), np.uint8))
+    assert np.all(mask[interior.astype(bool)])
+    assert np.abs(diff).sum() < 0.15 * ref.sum()
+
+
+def _synthetic_scene(H=128, W=192, D=8, C=3):
+    """Build model-like outputs containing two clean square instances."""
+    rng = np.random.default_rng(0)
+    kp = np.full((1, H, W, 1), -8.0, np.float32)
+    ae = np.zeros((1, H, W, 4), np.float32)
+    tan = np.zeros((1, H, W, 2), np.float32)
+
+    squares = [((20, 30), (60, 70), 0), ((80, 100), (110, 150), 1)]
+    from instance_segmentation_tpu.losses.losses import coordinate_grid
+    xym = np.asarray(coordinate_grid(H, W))
+
+    for (y1, x1, y2, x2, ) , cls in [(s[0] + s[1], s[2]) for s in squares]:
+        for y in range(y1, y2 + 1):
+            for x in (x1, x2):
+                kp[0, y, x, 0] = 8.0
+        for x in range(x1, x2 + 1):
+            for y in (y1, y2):
+                kp[0, y, x, 0] = 8.0
+    # ae: tanh(0)=0 so embedding = own coordinate; sigma chosen large enough
+    ae[..., 2:4] = 5.0  # sigma = exp(5) ~ 148: tight gaussian around own center
+    return kp, ae, tan, squares
+
+
+def test_decode_output_end_to_end():
+    """Full decode on a synthetic scene: detections with hand-made regression
+    targets should recover two square boundary polygons on device."""
+    H, W = 128, 192
+    kp, ae, tan, squares = _synthetic_scene(H, W)
+
+    from instance_segmentation_tpu.models.anchors import generate_anchors
+    anchors = generate_anchors(H, W, pyramid_levels=(3, 4, 5))
+    A = anchors.shape[0]
+    C = 3
+    cls_prob = np.full((1, A, C), 1e-3, np.float32)
+    reg = np.zeros((1, A, 4), np.float32)
+
+    # pick for each square the anchor with best IoU and give it a high score
+    for (y1, x1), (y2, x2), cls in squares:
+        gt = np.array([x1, y1, x2, y2], np.float32)
+        ax1, ay1, ax2, ay2 = anchors[:, 1], anchors[:, 0], anchors[:, 3], anchors[:, 2]
+        iw = np.clip(np.minimum(ax2, gt[2]) - np.maximum(ax1, gt[0]), 0, None)
+        ih = np.clip(np.minimum(ay2, gt[3]) - np.maximum(ay1, gt[1]), 0, None)
+        inter = iw * ih
+        union = (ax2 - ax1) * (ay2 - ay1) + (gt[2] - gt[0]) * (gt[3] - gt[1]) - inter
+        best = int(np.argmax(inter / np.clip(union, 1e-8, None)))
+        cls_prob[0, best, cls] = 0.95
+        aw, ah = ax2[best] - ax1[best], ay2[best] - ay1[best]
+        acx, acy = (ax1[best] + ax2[best]) / 2, (ay1[best] + ay2[best]) / 2
+        gcx, gcy = (gt[0] + gt[2]) / 2, (gt[1] + gt[3]) / 2
+        reg[0, best] = [(gcy - acy) / ah, (gcx - acx) / aw,
+                        np.log((gt[3] - gt[1]) / ah), np.log((gt[2] - gt[0]) / aw)]
+
+    cfg = DecodeConfig(kp_th=2000, pre_nms=64, max_dets=8, max_poly=512)
+    outputs = tuple(map(jnp.asarray, (kp, ae, tan, reg, cls_prob)))
+    dets = jax.jit(lambda o: decode_output(
+        o, jnp.asarray(anchors), H * 2, W * 2, 2.0, cfg))(outputs)
+
+    det_valid = np.asarray(dets.det_valid[0])
+    obj_valid = np.asarray(dets.obj_valid[0])
+    assert det_valid.sum() == 2
+    assert obj_valid.sum() == 2
+
+    classes = np.asarray(dets.classes[0])[obj_valid]
+    assert set(classes.tolist()) == {0, 1}
+
+    # polygons should hug the (2x upscaled) square boundaries
+    polys = np.asarray(dets.polygons[0])
+    lens = np.asarray(dets.poly_len[0])
+    for d in np.nonzero(obj_valid)[0]:
+        cls = int(np.asarray(dets.classes[0])[d])
+        (y1, x1), (y2, x2), _ = squares[cls]
+        p = polys[d][:lens[d]]
+        assert p[:, 0].min() >= 2 * x1 - 6 and p[:, 0].max() <= 2 * x2 + 6
+        assert p[:, 1].min() >= 2 * y1 - 6 and p[:, 1].max() <= 2 * y2 + 6
+        assert lens[d] > 50
