@@ -24,6 +24,7 @@ vs :472-480).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -96,10 +97,21 @@ class ConvSame(nn.Module):
 
 
 def max_pool_same(x: jnp.ndarray, window: int = 3, stride: int = 2) -> jnp.ndarray:
-    """TF-SAME max pool (ref MaxPool2dStaticSamePadding, utils_extra.py:50-86)."""
-    return nn.max_pool(
-        x, window_shape=(window, window), strides=(stride, stride), padding="SAME"
-    )
+    """SAME max pool with ZERO padding (ref MaxPool2dStaticSamePadding,
+    utils_extra.py:50-86).
+
+    NB: the reference pads the pool input with zeros via F.pad — a deviation
+    from true TF SAME pooling (-inf padding) that changes border values when
+    a window is all-negative (post-swish activations reach -0.278). We
+    reproduce the zero-padding for checkpoint/AP parity.
+    """
+    h, w = x.shape[1], x.shape[2]
+    extra_v = (math.ceil(h / stride) - 1) * stride - h + window
+    extra_h = (math.ceil(w / stride) - 1) * stride - w + window
+    top, left = extra_v // 2, extra_h // 2
+    x = jnp.pad(x, ((0, 0), (top, extra_v - top), (left, extra_h - left), (0, 0)))
+    return nn.max_pool(x, window_shape=(window, window),
+                       strides=(stride, stride), padding="VALID")
 
 
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
