@@ -40,7 +40,8 @@ class CheckpointManager:
         path = os.path.join(self.save_dir, _ckpt_name(epoch if epoch >= 0 else 0, iter_id))
         payload = {
             "state": jax.device_get(_savable(state)),
-            "meta": {"epoch": np.int32(epoch), "best_ap": np.float32(best_ap)},
+            "meta": {"epoch": np.array(epoch, np.int32),
+                     "best_ap": np.array(best_ap, np.float32)},
         }
         self._ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
         return path
@@ -69,7 +70,8 @@ class CheckpointManager:
         path = os.path.join(self.save_dir, names[-1])
         template = {
             "state": jax.device_get(_savable(state_template)),
-            "meta": {"epoch": np.int32(0), "best_ap": np.float32(0.0)},
+            "meta": {"epoch": np.array(0, np.int32),
+                     "best_ap": np.array(0.0, np.float32)},
         }
         ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
         payload = ckptr.restore(path, args=ocp.args.StandardRestore(template))
