@@ -92,9 +92,10 @@ def _iou_xyxy(b: jnp.ndarray) -> jnp.ndarray:
 def greedy_nms(boxes: jnp.ndarray, valid: jnp.ndarray, iou_th: float) -> jnp.ndarray:
     """Greedy NMS over score-sorted [K,4] boxes; returns keep mask [K].
 
-    Classic sequential suppression expressed as a fori_loop: box i is kept iff
-    no higher-ranked kept box overlaps it by more than iou_th (matches
-    torchvision nms semantics, strict >).
+    Exact greedy semantics (torchvision nms, strict >) via K sequential
+    steps: box i is kept iff no higher-ranked kept box overlaps it. Used by
+    tests as the semantics oracle; the fast path below (`leader_nms`) runs
+    only max_dets steps.
     """
     K = boxes.shape[0]
     iou = _iou_xyxy(boxes)
@@ -106,6 +107,36 @@ def greedy_nms(boxes: jnp.ndarray, valid: jnp.ndarray, iou_th: float) -> jnp.nda
 
     keep0 = jnp.zeros((K,), bool).at[0].set(valid[0])
     return jax.lax.fori_loop(1, K, body, keep0)
+
+
+def leader_nms(boxes: jnp.ndarray, valid: jnp.ndarray, iou_th: float,
+               max_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS returning the first `max_out` kept indices directly.
+
+    Identical result to `greedy_nms` truncated to max_out, but runs max_out
+    sequential steps instead of K: each step picks the highest-ranked
+    still-alive box (the next greedy keeper, since boxes are score-sorted)
+    and suppresses everything it overlaps. Sequential depth drops from
+    pre_nms (512) to max_dets (96) — the decode NMS stops being
+    latency-bound on TPU.
+
+    Returns (indices [max_out] into boxes, keep_valid [max_out]).
+    """
+    K = boxes.shape[0]
+    iou = _iou_xyxy(boxes)
+    rank = jnp.arange(K)
+
+    def body(carry, _):
+        alive = carry
+        any_alive = jnp.any(alive)
+        # first alive index (boxes are score-sorted)
+        lead = jnp.argmax(alive)
+        sup = (iou[lead] > iou_th) | (rank == lead)
+        alive = alive & ~sup
+        return alive, (jnp.where(any_alive, lead, -1), any_alive)
+
+    _, (idx, ok) = jax.lax.scan(body, valid, None, length=max_out)
+    return idx, ok
 
 
 def decode_boxes(classification: jnp.ndarray, regression: jnp.ndarray,
@@ -123,10 +154,10 @@ def decode_boxes(classification: jnp.ndarray, regression: jnp.ndarray,
         valid_k = top_s > cfg.cls_th
         # class-aware NMS via coordinate offsetting (one NMS for all classes)
         off = (c_k.astype(jnp.float32) * (w + h) * 2.0)[:, None]
-        keep = greedy_nms(b_k + off * jnp.array([1.0, 0.0, 1.0, 0.0]), valid_k, cfg.iou_th)
-        # compact kept boxes (already score-sorted) into the first D slots
-        order = jnp.argsort(~keep, stable=True)[: cfg.max_dets]
-        return (b_k[order], top_s[order], c_k[order], keep[order])
+        order, keep = leader_nms(b_k + off * jnp.array([1.0, 0.0, 1.0, 0.0]),
+                                 valid_k, cfg.iou_th, cfg.max_dets)
+        order = jnp.clip(order, 0, cfg.pre_nms - 1)
+        return (b_k[order], top_s[order], c_k[order], keep)
 
     return jax.vmap(per_image)(classification, regression)
 
@@ -201,6 +232,11 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
     kp_rc [K,2] float (row,col) input-res; assign [K] -> detection index;
     boxes [D,4] xyxy input-res. Returns (polygons [D,Q,2] (x,y) orig-res,
     poly_len [D], centers [D,2], obj_valid [D]).
+
+    TPU shape: instead of one argsort over all K keypoints per object
+    (D x K log K), the keypoints are sorted ONCE by (object, row-major
+    position) and each object reads its contiguous run via dynamic slice —
+    per-object work drops to the Q-sized polar sort.
     """
     D = boxes.shape[0]
     Q = cfg.max_poly
@@ -223,23 +259,41 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
     wh = jnp.stack([(boxes[:, 2] - boxes[:, 0]) * scale_int,
                     (boxes[:, 3] - boxes[:, 1]) * scale_int], axis=-1)       # [D,2] (w,h)
 
-    # row-major key for reference-like member ordering
+    # ghost filter evaluated per keypoint against its assigned object
+    # (ref group_kp :351-355) — each kp has exactly one assignment.
+    own_c = centers[assign]                                  # [K,2]
+    own_wh = wh[assign]                                      # [K,2]
+    half = (0.5 + cfg.wh_delta) * own_wh
+    ghost = ((kp_xy[:, 0] > own_c[:, 0] - half[:, 0]) &
+             (kp_xy[:, 0] < own_c[:, 0] + half[:, 0]) &
+             (kp_xy[:, 1] > own_c[:, 1] - half[:, 1]) &
+             (kp_xy[:, 1] < own_c[:, 1] + half[:, 1]))
+    sel = kp_valid & ghost & det_valid[assign]
+
+    # single global sort: members of object d form a contiguous run in
+    # row-major order (reference member ordering, kp_mask.nonzero() :312).
+    SHIFT = 1 << 20                                          # > in_h * in_w
     rm_key = kp_rc[:, 0].astype(jnp.int32) * in_w + kp_rc[:, 1].astype(jnp.int32)
+    key = jnp.where(sel, assign.astype(jnp.int32) * SHIFT + rm_key,
+                    jnp.int32(D * SHIFT))
+    perm = jnp.argsort(key)
+    key_sorted = key[perm]
+    kp_sorted = kp_xy[perm]                                  # [K,2]
+    bounds = jnp.searchsorted(key_sorted, jnp.arange(D + 1, dtype=jnp.int32) * SHIFT)
+    starts, counts = bounds[:-1], bounds[1:] - bounds[:-1]   # [D]
 
     def per_object(d):
-        member = kp_valid & (assign == d)
-        cx, cy = centers[d, 0], centers[d, 1]
-        half_w = (0.5 + cfg.wh_delta) * wh[d, 0]
-        half_h = (0.5 + cfg.wh_delta) * wh[d, 1]
-        ghost = ((kp_xy[:, 0] > cx - half_w) & (kp_xy[:, 0] < cx + half_w) &
-                 (kp_xy[:, 1] > cy - half_h) & (kp_xy[:, 1] < cy + half_h))
-        sel = member & ghost
-        count = jnp.sum(sel)
+        count = counts[d]
+        slice_len = min(Q, K)
+        start = jnp.clip(starts[d], 0, K - slice_len)
+        offset = starts[d] - start                           # >0 only near the tail
 
         def build(_):
-            key = jnp.where(sel, rm_key, jnp.int32(1 << 30))
-            order = jnp.argsort(key)[:Q]
-            pts = kp_xy[order]                                  # [Q,2] (x,y)
+            pts = jax.lax.dynamic_slice_in_dim(kp_sorted, start, slice_len, axis=0)
+            pts = jnp.roll(pts, -offset, axis=0)             # run starts at slot 0
+            if slice_len < Q:
+                pts = jnp.concatenate(
+                    [pts, jnp.zeros((Q - slice_len, 2), pts.dtype)], axis=0)
             n = jnp.minimum(count, Q)
             # replicate last valid vertex into padding slots
             last = pts[jnp.clip(n - 1, 0, Q - 1)]

@@ -52,6 +52,28 @@ def test_greedy_nms_matches_oracle():
     assert got == want
 
 
+def test_leader_nms_matches_greedy():
+    from instance_segmentation_tpu.ops.decode import leader_nms
+    rng = np.random.default_rng(2)
+    n = 64
+    xy = rng.uniform(0, 80, size=(n, 2))
+    wh = rng.uniform(5, 30, size=(n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0.1, 1.0, size=n).astype(np.float32)
+    order = np.argsort(-scores)
+    sb = jnp.asarray(boxes[order])
+    valid = jnp.ones(n, bool)
+    keep_mask = np.asarray(jax.jit(lambda b, v: greedy_nms(b, v, 0.3))(sb, valid))
+    idx, ok = jax.jit(lambda b, v: leader_nms(b, v, 0.3, 16))(sb, valid)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    assert list(idx[ok]) == list(np.nonzero(keep_mask)[0][:ok.sum()])
+    # partially-invalid input
+    valid2 = jnp.asarray(scores[order] > 0.5)
+    keep2 = np.asarray(jax.jit(lambda b, v: greedy_nms(b, v, 0.3))(sb, valid2))
+    idx2, ok2 = jax.jit(lambda b, v: leader_nms(b, v, 0.3, 16))(sb, valid2)
+    assert list(np.asarray(idx2)[np.asarray(ok2)]) == list(np.nonzero(keep2)[0][:np.asarray(ok2).sum()])
+
+
 def test_bbox_transform_identity():
     anchors = jnp.asarray([[10.0, 20.0, 50.0, 60.0]])  # y1,x1,y2,x2
     zeros = jnp.zeros((1, 4))
