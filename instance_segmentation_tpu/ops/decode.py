@@ -318,14 +318,15 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
             ok = (area >= 0.5) & inside
             return poly, n, ok
 
-        def empty(_):
-            return (jnp.zeros((Q, 2), jnp.float32), jnp.int32(0), jnp.bool_(False))
-
         enough = det_valid[d] & (count >= cfg.obj_pixel_th)
-        poly, n, ok = jax.lax.cond(enough, build, empty, None)
-        return poly, n, enough & ok
+        poly, n, ok = build(None)
+        n = jnp.where(enough, n, 0)
+        return (jnp.where(enough, poly, 0.0), n, enough & ok)
 
-    polys, lens, ok = jax.lax.map(per_object, jnp.arange(D))
+    # vmapped (not lax.map): all objects assemble in parallel — the batched
+    # Q-sized sorts and point-in-polygon tests vectorize across D, which
+    # beats skipping work for inactive slots on TPU.
+    polys, lens, ok = jax.vmap(per_object)(jnp.arange(D))
     return polys, lens, centers, ok
 
 

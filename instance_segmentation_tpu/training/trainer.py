@@ -107,6 +107,10 @@ class Trainer:
                 self.state, images, packed.polys, packed.n_verts, packed.cls_ids,
                 step_rng)
             total = float(stats["total_loss"])  # syncs the step
+            if not np.isfinite(total):
+                # parity with the reference's NaN hard-fail (ref loss.py:243-244)
+                raise RuntimeError(f"loss nan at epoch {epoch} iter {iter_id}: "
+                                   f"{ {k: float(v) for k, v in stats.items()} }")
             batch_time.update(time.time() - last)
             last = time.time()
 

@@ -1,0 +1,113 @@
+"""Dataset layer tests: cityscapes parsing, dir dataset, COCO json parsing,
+loader batching/prefetch."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from instance_segmentation_tpu.configs import Configer
+from instance_segmentation_tpu.transforms import CommonTransforms
+
+TRANS = Configer({
+    "train_trans": {"trans_seq": ["resize"], "resize": {"target_size": 2}},
+    "val_trans": {"trans_seq": ["resize"], "resize": {"target_size": 2}},
+    "normalize": {"div_value": 255.0, "mean": [0.485, 0.456, 0.406],
+                  "std": [0.229, 0.224, 0.225]},
+})
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from make_synthetic_cityscapes import generate
+    root = tmp_path_factory.mktemp("ds")
+    generate(str(root), splits=(("train", 3), ("val", 2)), h=128, w=256, seed=7,
+             instances=(1, 3))
+    return str(root)
+
+
+def test_cityscapes_dataset_and_loader(synth_root):
+    from instance_segmentation_tpu.data import get_dataloader
+    tf = CommonTransforms(TRANS, "train", seed=0)
+    loader = get_dataloader(2, "cityscapes", synth_root, "train", transforms=tf,
+                            max_instances=8, max_verts=32, seed=0)
+    assert len(loader) == 1   # 3 images, batch 2, drop_last
+    batches = list(loader)
+    assert len(batches) == 1
+    images, packed, infos = batches[0]
+    assert images.shape == (2, 64, 128, 3) and images.dtype == np.uint8
+    assert packed.polys.shape == (2, 8, 32, 2)
+    assert (packed.cls_ids >= -1).all()
+    assert (packed.cls_ids < 8).all()
+    assert infos[0].img_size == (128, 256)
+
+
+def test_dir_dataset(synth_root):
+    from instance_segmentation_tpu.data import get_dataloader
+    tf = CommonTransforms(TRANS, "val", seed=0)
+    loader = get_dataloader(1, "dir", os.path.join(synth_root, "leftImg8bit", "val"),
+                            "test", transforms=tf, with_label=False)
+    n = 0
+    for images, packed, infos in loader:
+        assert images.shape[1:] == (64, 128, 3)
+        assert packed is None
+        n += images.shape[0]
+    assert n == 2
+
+
+def test_coco_dataset(tmp_path):
+    from instance_segmentation_tpu.data.coco import COCODataset
+    import cv2
+    sub = tmp_path / "train"
+    sub.mkdir()
+    img = np.zeros((64, 96, 3), np.uint8)
+    cv2.imwrite(str(sub / "im0.png"), img)
+    blob = {
+        "images": [{"id": 7, "file_name": "im0.png", "height": 64, "width": 96}],
+        "annotations": [
+            {"image_id": 7, "category_id": 13,
+             "segmentation": [[10, 10, 40, 10, 40, 30, 10, 30]]},
+            {"image_id": 7, "category_id": 1,
+             "segmentation": {"counts": "rle-skipped", "size": [64, 96]}},
+        ],
+    }
+    with open(sub / "instances.json", "w") as f:
+        json.dump(blob, f)
+    ds = COCODataset(str(tmp_path), transforms=None, subset="train")
+    assert len(ds) == 1
+    img_out, (cls_ids, polys), _ = ds[0]
+    assert cls_ids == [11]            # category 13 -> index 11 (skips 12)
+    np.testing.assert_array_equal(polys[0][0], [10, 10])
+
+
+def test_preprocess_tool(synth_root, tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from preprocess_cityscapes import preprocess
+    out = str(tmp_path / "packed")
+    preprocess(synth_root, "val", out, target_size=2, max_instances=8,
+               max_verts=32, workers=1)
+    files = [f for f in os.listdir(out) if f.endswith(".npz")]
+    assert len(files) == 2
+    blob = np.load(os.path.join(out, files[0]))
+    assert blob["polys"].shape == (8, 32, 2)
+    assert blob["cls_ids"].shape == (8,)
+
+
+def test_convert_polygon_tool(synth_root):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from convert_polygon import convert_file
+    gt_dir = os.path.join(synth_root, "gtFine", "val", "synth")
+    gt = [f for f in os.listdir(gt_dir) if f.endswith("_gtFine_polygons.json")][0]
+    out = convert_file(os.path.join(gt_dir, gt))
+    assert out.endswith("_fill_polygons.json") and os.path.exists(out)
+    with open(out) as f:
+        blob = json.load(f)
+    assert all(len(o["polygon"]) >= 3 for o in blob["objects"])
