@@ -178,10 +178,14 @@ def select_peaks(hm: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     k = min(k, H * W)
     flat = hm.reshape(-1)
     top_v, top_i = jax.lax.top_k(flat, k)
-    mask = jnp.zeros((H * W,), bool).at[top_i].set(True)
+    # Dense threshold mask instead of scattering the top-k indices (TPU
+    # scatters serialize): identical to the index mask except on exact float
+    # ties at the k-th value, where extra tied pixels also join the masked
+    # map for the peak test (measure-zero for continuous logits).
+    thresh = top_v[-1]
+    masked = jnp.where(hm >= thresh, hm, 0.0)
     # torch F.max_pool2d pads with -inf; masked-out pixels are exact 0s here,
     # matching ref select_points :84 (mat * mask before the 3x3 peak test).
-    masked = jnp.where(mask, flat, 0.0).reshape(H, W)
     hmax = jax.lax.reduce_window(masked, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
     peak = hmax.reshape(-1)[top_i] == top_v
     return top_i, peak
@@ -328,6 +332,42 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
     # beats skipping work for inactive slots on TPU.
     polys, lens, ok = jax.vmap(per_object)(jnp.arange(D))
     return polys, lens, centers, ok
+
+
+def decode_centers(conf_hm: jnp.ndarray, cls_hm: jnp.ndarray, wh_map: jnp.ndarray,
+                   num_centers: int, iou_th: float = 0.5,
+                   max_out: int = 96):
+    """Center-heatmap detection decode (alternative anchor-free path).
+
+    On-device re-design of ref decode_ct_hm (utils/decode.py:254-285, the
+    reference's CenterNet-style path, unused on its live path but part of the
+    decode inventory): select top center peaks from a confidence map, read
+    per-center class and (h, w) size, then class-aware NMS on the implied
+    boxes with the reference's 0.5 IoU threshold (ref :278 py_cpu_nms).
+
+    conf_hm [H,W], cls_hm [H,W] int, wh_map [H,W,2] ((h,w) per pixel).
+    Returns (centers_rc [M,2] int32, classes [M], confs [M], whs [M,2], valid [M]).
+    """
+    H, W = conf_hm.shape
+    flat_idx, ok = select_peaks(conf_hm, num_centers)
+    rr = (flat_idx // W).astype(jnp.float32)
+    cc = (flat_idx % W).astype(jnp.float32)
+    conf = conf_hm.reshape(-1)[flat_idx]
+    ok = ok & (conf > 0)
+    cls = cls_hm.reshape(-1)[flat_idx].astype(jnp.int32)
+    wh = wh_map.reshape(-1, 2)[flat_idx]                         # [K,2] (h,w)
+
+    boxes = jnp.stack([cc - wh[:, 1] / 2, rr - wh[:, 0] / 2,
+                       cc + wh[:, 1] / 2, rr + wh[:, 0] / 2], axis=-1)
+    order = jnp.argsort(-jnp.where(ok, conf, -jnp.inf))
+    boxes_s, ok_s = boxes[order], ok[order]
+    off = (cls[order].astype(jnp.float32) * (H + W) * 2.0)[:, None]
+    keep_idx, keep_ok = leader_nms(
+        boxes_s + off * jnp.array([1.0, 0.0, 1.0, 0.0]), ok_s, iou_th, max_out)
+    keep_idx = jnp.clip(keep_idx, 0, boxes_s.shape[0] - 1)
+    sel = order[keep_idx]
+    centers = jnp.stack([rr[sel], cc[sel]], axis=-1).astype(jnp.int32)
+    return centers, cls[sel], conf[sel], wh[sel], keep_ok
 
 
 def decode_output(outputs, anchors: jnp.ndarray, orig_h: int, orig_w: int,

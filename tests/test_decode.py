@@ -94,6 +94,36 @@ def test_select_peaks():
     assert 5 * 48 + 8 not in peaks
 
 
+def test_decode_centers():
+    from instance_segmentation_tpu.ops.decode import decode_centers
+    H, W = 64, 96
+    conf = np.zeros((H, W), np.float32)
+    cls = np.zeros((H, W), np.int32)
+    wh = np.zeros((H, W, 2), np.float32)
+    conf[20, 30] = 0.9; cls[20, 30] = 2; wh[20, 30] = (10, 14)
+    conf[40, 70] = 0.8; cls[40, 70] = 5; wh[40, 70] = (8, 8)
+    conf[21, 30] = 0.5     # adjacent non-peak
+    centers, classes, confs, whs, ok = jax.jit(
+        lambda c, k, w: decode_centers(c, k, w, num_centers=32))(
+        jnp.asarray(conf), jnp.asarray(cls), jnp.asarray(wh))
+    ok = np.asarray(ok)
+    got = {tuple(c) for c in np.asarray(centers)[ok].tolist()}
+    assert got == {(20, 30), (40, 70)}
+    assert set(np.asarray(classes)[ok].tolist()) == {2, 5}
+
+
+def test_host_image_utils():
+    from instance_segmentation_tpu.utils.image import (
+        compute_iou_for_poly, is_cover, poly_to_mask,
+    )
+    sq = np.array([[2, 2], [10, 2], [10, 10], [2, 10]], np.float32)
+    m = poly_to_mask(sq, (16, 16))
+    assert m.sum() == 81
+    assert compute_iou_for_poly(sq, sq) == 1.0
+    inner = np.array([[4, 4], [8, 4], [8, 8], [4, 8]], np.float32)
+    assert is_cover(m, poly_to_mask(inner, (16, 16)))
+
+
 def test_point_in_polygon_and_area():
     sq = jnp.asarray([[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0]])
     assert bool(point_in_polygon(jnp.asarray([5.0, 5.0]), sq))
