@@ -8,10 +8,19 @@ aug_group :167-204, find_internal_point :51-68, cartesian2polar :88-128) and
 utils/nms.py. The reference round-trips device<->host four times per image and
 loops over objects in Python/cv2; here every stage is static-shape XLA.
 
+Performance notes (profiled on TPU v5e):
+  * top_k / argsort run at the TOP level on batched [B, N] arrays — a top_k
+    under vmap lowers to a stable full sort (~50x slower than the native
+    batched TopK path);
+  * the 3x3 peak test is 8 shifted maxes (fusable elementwise) instead of a
+    reduce-window, which picked a hostile layout;
+  * NMS runs max_dets leader steps, not pre_nms sequential steps;
+  * per-object member extraction is one global (object, row-major) sort plus
+    per-object dynamic slices.
+
 Output coordinate convention matches the reference: polygons/centers are
 (x, y) at ORIGINAL image resolution (after the inverse of the val resize,
-ref utils/tranform.py:157-171 detransform_pixel), ready for mask
-rasterization in the Cityscapes eval protocol.
+ref utils/tranform.py:157-171 detransform_pixel).
 """
 
 from __future__ import annotations
@@ -40,6 +49,8 @@ class DecodeConfig:
     max_dets: int = 96            # detections kept
     max_poly: int = 1024          # polygon vertex budget per object
     pair_candidates: int = 12     # points tried for the internal-point fallback
+    exact_topk: bool = True       # exact batched top_k (fast at top level);
+                                  # False uses approx_max_k (recall 0.95)
 
 
 class Detections(NamedTuple):
@@ -93,9 +104,8 @@ def greedy_nms(boxes: jnp.ndarray, valid: jnp.ndarray, iou_th: float) -> jnp.nda
     """Greedy NMS over score-sorted [K,4] boxes; returns keep mask [K].
 
     Exact greedy semantics (torchvision nms, strict >) via K sequential
-    steps: box i is kept iff no higher-ranked kept box overlaps it. Used by
-    tests as the semantics oracle; the fast path below (`leader_nms`) runs
-    only max_dets steps.
+    steps. Used by tests as the semantics oracle; the fast path
+    (`leader_nms`) runs only max_dets steps.
     """
     K = boxes.shape[0]
     iou = _iou_xyxy(boxes)
@@ -116,9 +126,7 @@ def leader_nms(boxes: jnp.ndarray, valid: jnp.ndarray, iou_th: float,
     Identical result to `greedy_nms` truncated to max_out, but runs max_out
     sequential steps instead of K: each step picks the highest-ranked
     still-alive box (the next greedy keeper, since boxes are score-sorted)
-    and suppresses everything it overlaps. Sequential depth drops from
-    pre_nms (512) to max_dets (96) — the decode NMS stops being
-    latency-bound on TPU.
+    and suppresses everything it overlaps.
 
     Returns (indices [max_out] into boxes, keep_valid [max_out]).
     """
@@ -129,8 +137,7 @@ def leader_nms(boxes: jnp.ndarray, valid: jnp.ndarray, iou_th: float,
     def body(carry, _):
         alive = carry
         any_alive = jnp.any(alive)
-        # first alive index (boxes are score-sorted)
-        lead = jnp.argmax(alive)
+        lead = jnp.argmax(alive)                 # first alive (score-sorted)
         sup = (iou[lead] > iou_th) | (rank == lead)
         alive = alive & ~sup
         return alive, (jnp.where(any_alive, lead, -1), any_alive)
@@ -141,54 +148,82 @@ def leader_nms(boxes: jnp.ndarray, valid: jnp.ndarray, iou_th: float,
 
 def decode_boxes(classification: jnp.ndarray, regression: jnp.ndarray,
                  anchors: jnp.ndarray, h: int, w: int, cfg: DecodeConfig):
-    """Per-batch box decode. Returns (boxes[B,D,4] xyxy, scores, classes, valid)."""
-
-    def per_image(cls_prob, reg):
-        scores = jnp.max(cls_prob, axis=-1)                  # [A]
-        classes = jnp.argmax(cls_prob, axis=-1)              # [A]
-        boxes = bbox_transform(anchors, reg, h, w)           # [A, 4]
-        masked = jnp.where(scores > cfg.cls_th, scores, -1.0)
-        top_s, top_i = jax.lax.top_k(masked, cfg.pre_nms)    # sorted desc
-        b_k = boxes[top_i]
-        c_k = classes[top_i]
-        valid_k = top_s > cfg.cls_th
-        # class-aware NMS via coordinate offsetting (one NMS for all classes)
-        off = (c_k.astype(jnp.float32) * (w + h) * 2.0)[:, None]
-        order, keep = leader_nms(b_k + off * jnp.array([1.0, 0.0, 1.0, 0.0]),
-                                 valid_k, cfg.iou_th, cfg.max_dets)
-        order = jnp.clip(order, 0, cfg.pre_nms - 1)
-        return (b_k[order], top_s[order], c_k[order], keep)
-
-    return jax.vmap(per_image)(classification, regression)
+    """Batched box decode. Returns (boxes[B,D,4] xyxy, scores, classes, valid)."""
+    scores = jnp.max(classification, axis=-1)                # [B, A]
+    classes = jnp.argmax(classification, axis=-1)            # [B, A]
+    boxes = bbox_transform(anchors, regression, h, w)        # [B, A, 4]
+    masked = jnp.where(scores > cfg.cls_th, scores, -1.0)
+    top_s, top_i = jax.lax.top_k(masked, cfg.pre_nms)        # batched fast path
+    b_k = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+    c_k = jnp.take_along_axis(classes, top_i, axis=1)
+    valid_k = top_s > cfg.cls_th
+    # class-aware NMS via coordinate offsetting (one NMS for all classes)
+    off = (c_k.astype(jnp.float32) * (w + h) * 2.0)[..., None]
+    shifted = b_k + off * jnp.array([1.0, 0.0, 1.0, 0.0])
+    order, keep = jax.vmap(lambda b, v: leader_nms(b, v, cfg.iou_th, cfg.max_dets))(
+        shifted, valid_k)
+    order = jnp.clip(order, 0, cfg.pre_nms - 1)
+    return (jnp.take_along_axis(b_k, order[..., None], axis=1),
+            jnp.take_along_axis(top_s, order, axis=1),
+            jnp.take_along_axis(c_k, order, axis=1),
+            keep)
 
 
 # ---------------------------------------------------------------------------
 # Boundary-peak selection (ref select_points :71-85, nms_hm :42-48)
 # ---------------------------------------------------------------------------
 
-def select_peaks(hm: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-k + 3x3 peak test on a [H,W] heatmap.
+def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift a [..., H, W] map, zero-filling (zero = masked-out, matching the
+    zero-padded masked map of ref select_points :84)."""
+    y = jnp.roll(x, (dy, dx), axis=(-2, -1))
+    if dy > 0:
+        y = y.at[..., :dy, :].set(0.0)
+    elif dy < 0:
+        y = y.at[..., dy:, :].set(0.0)
+    if dx > 0:
+        y = y.at[..., :, :dx].set(0.0)
+    elif dx < 0:
+        y = y.at[..., :, dx:].set(0.0)
+    return y
 
-    Returns (flat indices [k] int32, valid [k] bool). Matches the reference's
-    quirk of running the 3x3 max test on the top-k-масked map (select_points
-    :79-85): a selected pixel survives only if it is the max of its 3x3
-    neighbourhood *in the masked map* (masked-out neighbours count as 0).
+
+def select_peaks_batch(hm: jnp.ndarray, k: int,
+                       exact: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched top-k + 3x3 peak test on [B, H, W] heatmaps.
+
+    Returns (flat indices [B, k] int32, valid [B, k] bool). Matches the
+    reference's quirk of running the 3x3 max test on the top-k-masked map
+    (select_points :79-85): a selected pixel survives only if it is the max
+    of its 3x3 neighbourhood in the masked map (masked-out neighbours count
+    as 0). The index mask is realized as a dense threshold at the k-th value
+    (identical up to exact float ties).
     """
-    H, W = hm.shape
+    B, H, W = hm.shape
     k = min(k, H * W)
-    flat = hm.reshape(-1)
-    top_v, top_i = jax.lax.top_k(flat, k)
-    # Dense threshold mask instead of scattering the top-k indices (TPU
-    # scatters serialize): identical to the index mask except on exact float
-    # ties at the k-th value, where extra tied pixels also join the masked
-    # map for the peak test (measure-zero for continuous logits).
-    thresh = top_v[-1]
-    masked = jnp.where(hm >= thresh, hm, 0.0)
-    # torch F.max_pool2d pads with -inf; masked-out pixels are exact 0s here,
-    # matching ref select_points :84 (mat * mask before the 3x3 peak test).
-    hmax = jax.lax.reduce_window(masked, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
-    peak = hmax.reshape(-1)[top_i] == top_v
+    flat = hm.reshape(B, -1)
+    if exact:
+        top_v, top_i = jax.lax.top_k(flat, k)
+    else:
+        top_v, top_i = jax.lax.approx_max_k(flat, k, recall_target=0.95)
+    top_i = top_i.astype(jnp.int32)
+    thresh = top_v[:, -1]
+    masked = jnp.where(hm >= thresh[:, None, None], hm, 0.0)
+    hmax = masked
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            hmax = jnp.maximum(hmax, _shift2d(masked, dy, dx))
+    peak = jnp.take_along_axis(hmax.reshape(B, -1), top_i, axis=1) == top_v
     return top_i, peak
+
+
+def select_peaks(hm: jnp.ndarray, k: int,
+                 exact: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-image wrapper over select_peaks_batch."""
+    idx, ok = select_peaks_batch(hm[None], k, exact=exact)
+    return idx[0], ok[0]
 
 
 # ---------------------------------------------------------------------------
@@ -231,20 +266,19 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
                      boxes: jnp.ndarray, det_valid: jnp.ndarray,
                      in_h: int, in_w: int, orig_h: int, orig_w: int,
                      scale_int: float, cfg: DecodeConfig):
-    """Per-image object assembly.
+    """Batched object assembly.
 
-    kp_rc [K,2] float (row,col) input-res; assign [K] -> detection index;
-    boxes [D,4] xyxy input-res. Returns (polygons [D,Q,2] (x,y) orig-res,
-    poly_len [D], centers [D,2], obj_valid [D]).
+    kp_rc [B,K,2] float (row,col) input-res; assign [B,K] -> detection index;
+    boxes [B,D,4] xyxy input-res. Returns (polygons [B,D,Q,2] (x,y) orig-res,
+    poly_len [B,D], centers [B,D,2], obj_valid [B,D]).
 
-    TPU shape: instead of one argsort over all K keypoints per object
-    (D x K log K), the keypoints are sorted ONCE by (object, row-major
-    position) and each object reads its contiguous run via dynamic slice —
-    per-object work drops to the Q-sized polar sort.
+    TPU shape: one global (object, row-major) sort per image (batched sort at
+    top level) + per-object dynamic slices; the Q-sized polar sorts run as a
+    single batched [B*D, Q] argsort.
     """
-    D = boxes.shape[0]
+    B, K, _ = kp_rc.shape
+    D = boxes.shape[1]
     Q = cfg.max_poly
-    K = kp_rc.shape[0]
 
     # detransform to original resolution (ref tranform.py:157-171: corner-to-
     # corner affine, no offset) — (x, y) order from here on.
@@ -252,86 +286,87 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
     th = int(round(orig_h / scale_int))
     sx = (orig_w - 1) / (tw - 1)
     sy = (orig_h - 1) / (th - 1)
-    kp_xy = jnp.stack([jnp.clip(kp_rc[:, 1] * sx, 0, orig_w - 1),
-                       jnp.clip(kp_rc[:, 0] * sy, 0, orig_h - 1)], axis=-1)  # [K,2]
+    kp_xy = jnp.stack([jnp.clip(kp_rc[..., 1] * sx, 0, orig_w - 1),
+                       jnp.clip(kp_rc[..., 0] * sy, 0, orig_h - 1)], axis=-1)  # [B,K,2]
 
-    centers_in = jnp.stack([(boxes[:, 0] + boxes[:, 2]) / 2,
-                            (boxes[:, 1] + boxes[:, 3]) / 2], axis=-1)       # [D,2] (x,y)
-    centers = jnp.stack([jnp.clip(centers_in[:, 0] * sx, 0, orig_w - 1),
-                         jnp.clip(centers_in[:, 1] * sy, 0, orig_h - 1)], axis=-1)
+    centers = jnp.stack(
+        [jnp.clip((boxes[..., 0] + boxes[..., 2]) / 2 * sx, 0, orig_w - 1),
+         jnp.clip((boxes[..., 1] + boxes[..., 3]) / 2 * sy, 0, orig_h - 1)],
+        axis=-1)                                                  # [B,D,2] (x,y)
     # ghost-filter box size uses the integer scale (ref compute_scale :34-35)
-    wh = jnp.stack([(boxes[:, 2] - boxes[:, 0]) * scale_int,
-                    (boxes[:, 3] - boxes[:, 1]) * scale_int], axis=-1)       # [D,2] (w,h)
+    wh = jnp.stack([(boxes[..., 2] - boxes[..., 0]) * scale_int,
+                    (boxes[..., 3] - boxes[..., 1]) * scale_int], axis=-1)  # [B,D,2]
 
     # ghost filter evaluated per keypoint against its assigned object
     # (ref group_kp :351-355) — each kp has exactly one assignment.
-    own_c = centers[assign]                                  # [K,2]
-    own_wh = wh[assign]                                      # [K,2]
+    own_c = jnp.take_along_axis(centers, assign[..., None], axis=1)   # [B,K,2]
+    own_wh = jnp.take_along_axis(wh, assign[..., None], axis=1)
+    own_ok = jnp.take_along_axis(det_valid, assign, axis=1)
     half = (0.5 + cfg.wh_delta) * own_wh
-    ghost = ((kp_xy[:, 0] > own_c[:, 0] - half[:, 0]) &
-             (kp_xy[:, 0] < own_c[:, 0] + half[:, 0]) &
-             (kp_xy[:, 1] > own_c[:, 1] - half[:, 1]) &
-             (kp_xy[:, 1] < own_c[:, 1] + half[:, 1]))
-    sel = kp_valid & ghost & det_valid[assign]
+    ghost = ((kp_xy[..., 0] > own_c[..., 0] - half[..., 0]) &
+             (kp_xy[..., 0] < own_c[..., 0] + half[..., 0]) &
+             (kp_xy[..., 1] > own_c[..., 1] - half[..., 1]) &
+             (kp_xy[..., 1] < own_c[..., 1] + half[..., 1]))
+    sel = kp_valid & ghost & own_ok                                   # [B,K]
 
-    # single global sort: members of object d form a contiguous run in
-    # row-major order (reference member ordering, kp_mask.nonzero() :312).
-    SHIFT = 1 << 20                                          # > in_h * in_w
-    rm_key = kp_rc[:, 0].astype(jnp.int32) * in_w + kp_rc[:, 1].astype(jnp.int32)
+    # single global sort per image: members of object d form a contiguous run
+    # in row-major order (reference member ordering, kp_mask.nonzero() :312).
+    SHIFT = 1 << 20                                                   # > in_h*in_w
+    rm_key = kp_rc[..., 0].astype(jnp.int32) * in_w + kp_rc[..., 1].astype(jnp.int32)
     key = jnp.where(sel, assign.astype(jnp.int32) * SHIFT + rm_key,
                     jnp.int32(D * SHIFT))
-    perm = jnp.argsort(key)
-    key_sorted = key[perm]
-    kp_sorted = kp_xy[perm]                                  # [K,2]
-    bounds = jnp.searchsorted(key_sorted, jnp.arange(D + 1, dtype=jnp.int32) * SHIFT)
-    starts, counts = bounds[:-1], bounds[1:] - bounds[:-1]   # [D]
+    perm = jnp.argsort(key, axis=-1)                                  # batched sort
+    key_sorted = jnp.take_along_axis(key, perm, axis=-1)
+    kp_sorted = jnp.take_along_axis(kp_xy, perm[..., None], axis=1)   # [B,K,2]
+    boundaries = jnp.arange(D + 1, dtype=jnp.int32) * SHIFT
+    bounds = jax.vmap(lambda ks: jnp.searchsorted(ks, boundaries))(key_sorted)
+    starts, counts = bounds[:, :-1], bounds[:, 1:] - bounds[:, :-1]   # [B,D]
 
-    def per_object(d):
-        count = counts[d]
-        slice_len = min(Q, K)
-        start = jnp.clip(starts[d], 0, K - slice_len)
-        offset = starts[d] - start                           # >0 only near the tail
+    slice_len = min(Q, K)
+    start_c = jnp.clip(starts, 0, K - slice_len)
+    offset = starts - start_c                                         # [B,D]
 
-        def build(_):
-            pts = jax.lax.dynamic_slice_in_dim(kp_sorted, start, slice_len, axis=0)
-            pts = jnp.roll(pts, -offset, axis=0)             # run starts at slot 0
-            if slice_len < Q:
-                pts = jnp.concatenate(
-                    [pts, jnp.zeros((Q - slice_len, 2), pts.dtype)], axis=0)
-            n = jnp.minimum(count, Q)
-            # replicate last valid vertex into padding slots
-            last = pts[jnp.clip(n - 1, 0, Q - 1)]
-            pts = jnp.where(jnp.arange(Q)[:, None] < n, pts, last)
+    def slice_one(kps, s, off):
+        pts = jax.lax.dynamic_slice_in_dim(kps, s, slice_len, axis=0)
+        return jnp.roll(pts, -off, axis=0)
 
-            center = centers[d]
-            ip = _find_internal_point(pts, n, center, cfg.pair_candidates)
-            ang = _polar_angle(pts[:, 0] - ip[0], pts[:, 1] - ip[1])
-            ang = jnp.where(jnp.arange(Q) < n, ang, jnp.inf)
-            s_order = jnp.argsort(ang)
-            poly = pts[s_order]
-            poly = jnp.where(jnp.arange(Q)[:, None] < n, poly,
-                             poly[jnp.clip(n - 1, 0, Q - 1)])
+    pts = jax.vmap(jax.vmap(slice_one, in_axes=(None, 0, 0)), in_axes=(0, 0, 0))(
+        kp_sorted, start_c, offset)                                   # [B,D,Qs,2]
+    if slice_len < Q:
+        pts = jnp.concatenate(
+            [pts, jnp.zeros((B, D, Q - slice_len, 2), pts.dtype)], axis=2)
+    n = jnp.minimum(counts, Q)                                        # [B,D]
 
-            # validity: non-degenerate raster area (ref aug_group :187-189
-            # fillPoly sum > 0 ~ shoelace area >= 0.5) + center inside
-            # (ref :201-204)
-            y2 = jnp.roll(poly[:, 1], -1)
-            x2 = jnp.roll(poly[:, 0], -1)
-            area = 0.5 * jnp.abs(jnp.sum(poly[:, 0] * y2 - x2 * poly[:, 1]))
-            inside = point_in_polygon(center, poly)
-            ok = (area >= 0.5) & inside
-            return poly, n, ok
+    # replicate last valid vertex into padding slots
+    q_iota = jnp.arange(Q)
+    last = jnp.take_along_axis(
+        pts, jnp.clip(n - 1, 0, Q - 1)[..., None, None].astype(jnp.int32), axis=2)
+    pts = jnp.where(q_iota[None, None, :, None] < n[..., None, None], pts, last)
 
-        enough = det_valid[d] & (count >= cfg.obj_pixel_th)
-        poly, n, ok = build(None)
-        n = jnp.where(enough, n, 0)
-        return (jnp.where(enough, poly, 0.0), n, enough & ok)
+    ip = jax.vmap(jax.vmap(
+        lambda p, nn, c: _find_internal_point(p, nn, c, cfg.pair_candidates)))(
+        pts, n, centers)                                              # [B,D,2]
 
-    # vmapped (not lax.map): all objects assemble in parallel — the batched
-    # Q-sized sorts and point-in-polygon tests vectorize across D, which
-    # beats skipping work for inactive slots on TPU.
-    polys, lens, ok = jax.vmap(per_object)(jnp.arange(D))
-    return polys, lens, centers, ok
+    ang = _polar_angle(pts[..., 0] - ip[..., 0:1], pts[..., 1] - ip[..., 1:2])
+    ang = jnp.where(q_iota[None, None, :] < n[..., None], ang, jnp.inf)
+    s_order = jnp.argsort(ang, axis=-1)                               # batched [B,D,Q]
+    poly = jnp.take_along_axis(pts, s_order[..., None], axis=2)
+    last2 = jnp.take_along_axis(
+        poly, jnp.clip(n - 1, 0, Q - 1)[..., None, None].astype(jnp.int32), axis=2)
+    poly = jnp.where(q_iota[None, None, :, None] < n[..., None, None], poly, last2)
+
+    # validity: non-degenerate raster area (ref aug_group :187-189 fillPoly
+    # sum > 0 ~ shoelace area >= 0.5) + center inside (ref :201-204)
+    y2 = jnp.roll(poly[..., 1], -1, axis=-1)
+    x2 = jnp.roll(poly[..., 0], -1, axis=-1)
+    area = 0.5 * jnp.abs(jnp.sum(poly[..., 0] * y2 - x2 * poly[..., 1], axis=-1))
+    inside = jax.vmap(jax.vmap(lambda c, p: point_in_polygon(c, p)))(centers, poly)
+    enough = det_valid & (counts >= cfg.obj_pixel_th)
+    ok = enough & (area >= 0.5) & inside
+
+    n = jnp.where(enough, n, 0)
+    poly = jnp.where(enough[..., None, None], poly, 0.0)
+    return poly, n, centers, ok
 
 
 def decode_centers(conf_hm: jnp.ndarray, cls_hm: jnp.ndarray, wh_map: jnp.ndarray,
@@ -374,7 +409,8 @@ def decode_output(outputs, anchors: jnp.ndarray, orig_h: int, orig_w: int,
                   scale_int: float, cfg: DecodeConfig = DecodeConfig()) -> Detections:
     """Full decode of a model forward pass (ref decode_output :444-461).
 
-    outputs = (kp, ae, tan, regression, classification); all on device.
+    outputs = (kp, ae, tan, regression, classification); all on device,
+    batched end to end.
     """
     kp, ae, tan, regression, classification = outputs
     B, H, W, _ = kp.shape
@@ -383,39 +419,41 @@ def decode_output(outputs, anchors: jnp.ndarray, orig_h: int, orig_w: int,
     boxes, scores, classes, det_valid = decode_boxes(
         classification, regression, anchors, H, W, cfg)
 
-    def per_image(kp_i, ae_i, boxes_i, det_valid_i):
-        flat_idx, kp_ok = select_peaks(kp_i[..., 0], cfg.kp_th)
-        rr = (flat_idx // W).astype(jnp.float32)
-        cc = (flat_idx % W).astype(jnp.float32)
-        kp_rc = jnp.stack([rr, cc], axis=-1)                       # [K,2]
+    flat_idx, kp_ok = select_peaks_batch(kp[..., 0], cfg.kp_th,
+                                         exact=cfg.exact_topk)        # [B,K]
+    rr = (flat_idx // W).astype(jnp.float32)
+    cc = (flat_idx % W).astype(jnp.float32)
+    kp_rc = jnp.stack([rr, cc], axis=-1)                              # [B,K,2]
 
-        ae_flat = ae_i.reshape(-1, 4)[flat_idx]                    # [K,4]
-        xym_flat = xym.reshape(-1, 2)[flat_idx]
-        emb = jnp.tanh(ae_flat[:, 0:2]) + xym_flat                 # [K,2]
-        sig = jnp.exp(ae_flat[:, 2:4])                             # [K,2]
+    ae_flat = jnp.take_along_axis(ae.reshape(B, -1, 4), flat_idx[..., None], axis=1)
+    xym_flat = jnp.take_along_axis(
+        jnp.broadcast_to(xym.reshape(1, -1, 2), (B, H * W, 2)),
+        flat_idx[..., None], axis=1)
+    emb = jnp.tanh(ae_flat[..., 0:2]) + xym_flat                      # [B,K,2]
+    sig = jnp.exp(ae_flat[..., 2:4])                                  # [B,K,2]
 
-        ci = jnp.clip(((boxes_i[:, 1] + boxes_i[:, 3]) / 2).astype(jnp.int32), 0, H - 1)
-        cj = jnp.clip(((boxes_i[:, 0] + boxes_i[:, 2]) / 2).astype(jnp.int32), 0, W - 1)
-        c_emb = xym[ci, cj]                                        # [D,2]
+    ci = jnp.clip(((boxes[..., 1] + boxes[..., 3]) / 2).astype(jnp.int32), 0, H - 1)
+    cj = jnp.clip(((boxes[..., 0] + boxes[..., 2]) / 2).astype(jnp.int32), 0, W - 1)
+    c_emb = xym[ci, cj]                                               # [B,D,2]
 
-        lt_r = boxes_i[:, 1]; lt_c = boxes_i[:, 0]
-        rb_r = boxes_i[:, 3]; rb_c = boxes_i[:, 2]
-        contained = ((kp_rc[:, 0:1] >= lt_r[None, :]) & (kp_rc[:, 0:1] <= rb_r[None, :]) &
-                     (kp_rc[:, 1:2] >= lt_c[None, :]) & (kp_rc[:, 1:2] <= rb_c[None, :]))
-        contained = contained & det_valid_i[None, :]
+    contained = ((kp_rc[..., 0:1] >= boxes[..., None, :, 1]) &
+                 (kp_rc[..., 0:1] <= boxes[..., None, :, 3]) &
+                 (kp_rc[..., 1:2] >= boxes[..., None, :, 0]) &
+                 (kp_rc[..., 1:2] <= boxes[..., None, :, 2]))         # [B,K,D]
+    contained = contained & det_valid[:, None, :]
 
-        dists = jnp.exp(-jnp.sum((emb[:, None, :] - c_emb[None, :, :]) ** 2
-                                 * sig[:, None, :], axis=-1))      # [K,D]
-        scored = dists * contained.astype(jnp.float32)
-        # NB: kps contained in no box get score 0 everywhere and argmax slot 0
-        # — the reference behaves identically (group_kp :328 argmax over the
-        # masked affinity), relying on the ghost filter to drop strays.
-        assign = jnp.argmax(scored, axis=1)                        # [K]
+    dists = jnp.exp(-jnp.sum(
+        (emb[:, :, None, :] - c_emb[:, None, :, :]) ** 2 * sig[:, :, None, :],
+        axis=-1))                                                     # [B,K,D]
+    scored = dists * contained.astype(jnp.float32)
+    # NB: kps contained in no box get score 0 everywhere and argmax slot 0 —
+    # the reference behaves identically (group_kp :328 argmax over the masked
+    # affinity), relying on the ghost filter to drop strays.
+    assign = jnp.argmax(scored, axis=-1)                              # [B,K]
 
-        return assemble_objects(kp_rc, kp_ok, assign, boxes_i, det_valid_i,
-                                H, W, orig_h, orig_w, scale_int, cfg)
-
-    polys, lens, centers, obj_ok = jax.vmap(per_image)(kp, ae, boxes, det_valid)
+    polys, lens, centers, obj_ok = assemble_objects(
+        kp_rc, kp_ok, assign, boxes, det_valid,
+        H, W, orig_h, orig_w, scale_int, cfg)
     return Detections(boxes=boxes, scores=scores, classes=classes,
                       det_valid=det_valid, polygons=polys, poly_len=lens,
                       centers=centers, obj_valid=obj_ok)
