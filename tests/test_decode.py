@@ -94,6 +94,25 @@ def test_select_peaks():
     assert 5 * 48 + 8 not in peaks
 
 
+def test_exact_topk_indices():
+    from instance_segmentation_tpu.ops.decode import exact_topk_indices
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 4096)).astype(np.float32)
+    x[0, 100] = x[0, 200] = 5.0    # exact ties
+    vals, idx = jax.jit(lambda x: exact_topk_indices(x, 128))(jnp.asarray(x))
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for b in range(2):
+        want = set(np.argsort(-x[b], kind="stable")[:128].tolist())
+        got = set(idx[b].tolist())
+        # same value threshold; tie membership may differ only among equal values
+        assert len(got) == 128
+        got_vals = np.sort(x[b][sorted(got)])
+        want_vals = np.sort(x[b][sorted(want)])
+        np.testing.assert_array_equal(got_vals, want_vals)
+        # indices come back in ascending order
+        assert np.all(np.diff(idx[b]) > 0)
+
+
 def test_decode_centers():
     from instance_segmentation_tpu.ops.decode import decode_centers
     H, W = 64, 96
