@@ -10,7 +10,24 @@ import argparse
 import os
 
 
+
+def _platform_override():
+    """Honour ISEG_PLATFORM=cpu|tpu (the axon plugin ignores JAX_PLATFORMS)."""
+    import os
+    plat = os.environ.get("ISEG_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    cache = os.environ.get("ISEG_JIT_CACHE", "/tmp/iseg_jit_cache")
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 def main():
+    _platform_override()
     parser = argparse.ArgumentParser(description="test")
     parser.add_argument("--cfg_path", dest="cfg_path", type=str, required=True)
     args = parser.parse_args()

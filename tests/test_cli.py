@@ -1,0 +1,81 @@
+"""CLI smoke tests (subprocess; gated — each spawns a fresh XLA compile).
+
+Run with ISEG_RUN_SLOW=1 to enable. Verified manually as part of round 1:
+test.py and evaluate.py run end-to-end on a synthetic Cityscapes tree with
+random weights (0 AP expected).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+pytestmark = pytest.mark.skipif(not os.environ.get("ISEG_RUN_SLOW"),
+                                reason="set ISEG_RUN_SLOW=1 to run CLI tests")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def smoke_tree(tmp_path_factory):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_synthetic_cityscapes import generate
+    base = tmp_path_factory.mktemp("cli")
+    root = str(base / "data")
+    generate(root, splits=(("train", 2), ("val", 2)), h=256, w=512, seed=5,
+             instances=(2, 4))
+    cfg_dir = base / "cfg"
+    cfg_dir.mkdir()
+    yaml.safe_dump({"cls_th": 0.3, "iou_th": 0.2, "kp_th": 2000,
+                    "obj_pixel_th": 2, "wh_delta": 0.1, "alpha_ratio": 2,
+                    "draw_flag": False}, open(cfg_dir / "decode.yaml", "w"))
+    json.dump({"train_trans": {"trans_seq": ["resize"],
+                               "resize": {"target_size": 2}},
+               "val_trans": {"trans_seq": ["resize"], "resize": {"target_size": 2}},
+               "normalize": {"div_value": 255.0, "mean": [0.485, 0.456, 0.406],
+                             "std": [0.229, 0.224, 0.225]}},
+              open(cfg_dir / "trans.json", "w"))
+    return base, root, cfg_dir
+
+
+def _run(script, cfg_path):
+    env = dict(os.environ, ISEG_PLATFORM="cpu")
+    return subprocess.run([sys.executable, os.path.join(REPO, script),
+                           "--cfg_path", str(cfg_path)],
+                          capture_output=True, text=True, env=env, timeout=900)
+
+
+def test_test_cli(smoke_tree):
+    base, root, cfg_dir = smoke_tree
+    cfg = {"data": {"test_dir": root + "/leftImg8bit/val", "test_image": None,
+                    "save_dir": str(base / "test_out"), "dataset": "dir",
+                    "batch_size": 1, "input_size": [128, 256], "num_classes": 8},
+           "seed": 1, "compound_coef": 0, "weights_path": None,
+           "decode_cfg_path": str(cfg_dir / "decode.yaml"),
+           "trans_cfg_path": str(cfg_dir / "trans.json")}
+    p = cfg_dir / "test.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    r = _run("test.py", p)
+    assert r.returncode == 0, r.stderr[-2000:]
+    outs = [f for f in os.listdir(base / "test_out") if f.endswith(".png")]
+    assert len(outs) == 2
+
+
+def test_evaluate_cli(smoke_tree):
+    base, root, cfg_dir = smoke_tree
+    cfg = {"data": {"eval_dir": root, "save_dir": str(base / "eval_out"),
+                    "dataset": "cityscapes", "batch_size": 2,
+                    "input_size": [128, 256], "num_classes": -1, "subset": "val"},
+           "seed": 1, "compound_coef": 0, "weights_path": None, "weights_dir": None,
+           "decode_cfg_path": str(cfg_dir / "decode.yaml"),
+           "trans_cfg_path": str(cfg_dir / "trans.json"),
+           "tpu": {"compute_dtype": "float32", "input_size": [128, 256]},
+           "static": {"max_instances": 8, "max_vertices": 16, "max_points": 128}}
+    p = cfg_dir / "eval.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    r = _run("evaluate.py", p)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(base / "eval_out" / "0_dets.json")
