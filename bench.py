@@ -84,8 +84,12 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        if base.get("value"):
-            vs_baseline = imgs_per_sec / float(base["value"])
+        if "metric" in base:                     # old single-entry format
+            base = {base["metric"]: base}
+        entry = (base.get("reference_infer_decode_imgs_per_sec")
+                 or base.get("reference_forward_imgs_per_sec"))
+        if entry and entry.get("value"):
+            vs_baseline = imgs_per_sec / float(entry["value"])
 
     print(json.dumps({
         "metric": "cityscapes_1024x2048_infer_decode_imgs_per_sec_per_chip",

@@ -121,6 +121,37 @@ class BatchLoader:
             yield item
 
 
+def device_prefetch(loader, size: int = 2):
+    """Double-buffer batches onto the device: host->HBM transfers of the next
+    batches overlap the current step's compute (replaces the reference's
+    DataLoader worker prefetch, which still paid a synchronous `.to(device)`
+    per step, ref train.py:199)."""
+    import collections
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        images, packed, infos = batch
+        images = jax.device_put(images)
+        if packed is not None:
+            packed = type(packed)(*(jax.device_put(a) for a in packed))
+        return images, packed, infos
+
+    it = iter(loader)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+
+
 def get_dataloader(batch_size: int, dataset_type: str, data_dir: str, phase: str,
                    transforms=None, max_instances: int = 96, max_verts: int = 256,
                    random: bool = True, with_label: bool = True, seed: int = 0,

@@ -58,6 +58,10 @@ class EfficientSegConfig:
     mean: Tuple[float, ...] = DEFAULT_MEAN
     std: Tuple[float, ...] = DEFAULT_STD
     axis_name: Optional[str] = None
+    remat: bool = False   # rematerialize backbone blocks + U-Net stages
+                          # (jax.checkpoint): trades ~30% step FLOPs for the
+                          # activation memory of the full-res dense decoder —
+                          # enables large-batch / full-res (1024x2048) training
 
     @property
     def num_anchors(self) -> int:
@@ -88,10 +92,15 @@ class EfficientSeg(nn.Module):
             x = (x - mean) / std
         x = x.astype(dtype)
 
-        backbone = EfficientNetFeatures(
+        backbone_cls = EfficientNetFeatures
+        decoder_cls = UNetDecoder
+        if c.remat:
+            backbone_cls = nn.remat(EfficientNetFeatures, static_argnums=(2,))
+            decoder_cls = nn.remat(UNetDecoder, static_argnums=(3,))
+        backbone = backbone_cls(
             variant=BACKBONE_COEF[coef], dtype=dtype, axis_name=c.axis_name,
             name="backbone")
-        blocks = backbone(x, train=train)            # [P1..P5]
+        blocks = backbone(x, train)                  # [P1..P5]
 
         fpn_ch = FPN_FILTERS[coef]
         feats = BiFPN(
@@ -117,8 +126,8 @@ class EfficientSeg(nn.Module):
             dtype=dtype, axis_name=c.axis_name, name="classifier",
         )(feats, train=train)
 
-        kp, ae, tan = UNetDecoder(
+        kp, ae, tan = decoder_cls(
             dtype=dtype, axis_name=c.axis_name, name="kp_header",
-        )(x, blocks, train=train)
+        )(x, blocks, train)
 
         return kp, ae, tan, regression, classification

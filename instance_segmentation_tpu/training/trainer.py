@@ -98,7 +98,8 @@ class Trainer:
         avg = {k: AverageMeter() for k in LOSS_NAMES}
         start = last = time.time()
 
-        for iter_id, (images, packed, infos) in enumerate(loader):
+        from instance_segmentation_tpu.data.registry import device_prefetch
+        for iter_id, (images, packed, infos) in enumerate(device_prefetch(loader)):
             if iter_id >= num_iter:
                 break
             data_time.update(time.time() - last)
