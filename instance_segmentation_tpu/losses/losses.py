@@ -160,6 +160,38 @@ def kp_focal_loss(kp_logits: jnp.ndarray, kp_tgt: jnp.ndarray) -> jnp.ndarray:
     return focal_heatmap_loss(pred, kp_tgt)
 
 
+def kp_focal_loss_from_points(kp_logits: jnp.ndarray, targets: Targets) -> jnp.ndarray:
+    """Scatter-free kp focal: identical value to kp_focal_loss on the dense
+    binary mask, computed from the boundary point list.
+
+    The dense target is 1 exactly at the (deduplicated) sample pixels and 0
+    elsewhere, so:
+        loss = -(pos_at_points + neg_everywhere - neg_at_points) / n_unique
+    One batched sort deduplicates the point pixels (points can repeat across
+    edges/instances); no [H, W] scatter is ever materialized.
+    """
+    B, H, W, _ = kp_logits.shape
+    HW = H * W
+    pred = jnp.clip(jax.nn.sigmoid(kp_logits[..., 0]), _EPS, 1.0 - _EPS)
+
+    flat_pts = (targets.points[..., 0] * W + targets.points[..., 1]).reshape(B, -1)
+    flat_pts = jnp.where(targets.pt_valid.reshape(B, -1), flat_pts, HW)   # sentinel
+    flat_sorted = jnp.sort(flat_pts, axis=-1)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, flat_sorted.dtype), flat_sorted[:, :-1]], axis=1)
+    unique = (flat_sorted != prev) & (flat_sorted < HW)                   # [B, K]
+
+    pv = jnp.take_along_axis(pred.reshape(B, HW),
+                             jnp.clip(flat_sorted, 0, HW - 1), axis=1)
+    uf = unique.astype(jnp.float32)
+    pos_loss = jnp.sum(jnp.log(pv) * (1.0 - pv) ** 2 * uf)
+    neg_corr = jnp.sum(jnp.log(1.0 - pv) * pv ** 2 * uf)
+    neg_all = jnp.sum(jnp.log(1.0 - pred) * pred ** 2)
+    num_pos = jnp.sum(uf)
+    return jnp.where(num_pos == 0, -neg_all,
+                     -(pos_loss + neg_all - neg_corr) / jnp.clip(num_pos, 1.0, None))
+
+
 # ---------------------------------------------------------------------------
 # Spatial-embedding (AE) loss (ref AELoss :248-317)
 # ---------------------------------------------------------------------------
@@ -262,7 +294,10 @@ def compose_loss(outputs, targets: Targets, anchors: jnp.ndarray,
 
     cls_l, reg_l = det_focal_loss(classification, regression, anchors,
                                   targets.det_ann, cfg)
-    kp_l = kp_focal_loss(kp, targets.kp_tgt)
+    if targets.kp_tgt is not None:
+        kp_l = kp_focal_loss(kp, targets.kp_tgt)
+    else:
+        kp_l = kp_focal_loss_from_points(kp, targets)
     ae_l = ae_loss(ae, targets, xym, cfg)
     tan_l = tangent_loss(tan, targets, cfg)
 

@@ -76,7 +76,10 @@ def _sample_one_polygon(poly: jnp.ndarray, n_verts: jnp.ndarray,
     cum = jnp.cumsum(n_samp)                                    # [V]
     total = cum[-1]
     slots = jnp.arange(max_points)
-    edge = jnp.searchsorted(cum, slots, side="right")           # [P]
+    # edge index = count of cum entries <= slot (== searchsorted side="right";
+    # a vmapped searchsorted lowers to a ~36ms while-loop on TPU, the
+    # broadcast compare-sum is a fused [P, V] reduction)
+    edge = jnp.sum((cum[None, :] <= slots[:, None]).astype(jnp.int32), axis=1)
     edge_c = jnp.clip(edge, 0, poly.shape[0] - 1)
     start = jnp.where(edge_c > 0, cum[edge_c - 1], 0)
     k = (slots - start).astype(jnp.float32) * 2.0               # step along edge
@@ -92,8 +95,13 @@ def _sample_one_polygon(poly: jnp.ndarray, n_verts: jnp.ndarray,
 
 
 def generate_targets(polys: jnp.ndarray, n_verts: jnp.ndarray, cls_ids: jnp.ndarray,
-                     h: int, w: int, max_points: int = 2048) -> Targets:
-    """Batch target generation. polys [B,M,V,2], n_verts [B,M], cls_ids [B,M]."""
+                     h: int, w: int, max_points: int = 2048,
+                     dense_kp: bool = True) -> Targets:
+    """Batch target generation. polys [B,M,V,2], n_verts [B,M], cls_ids [B,M].
+
+    dense_kp=False skips rasterizing the dense [H, W] boundary mask (a ~15 ms
+    TPU scatter at full scale); the kp focal loss then consumes the point
+    list directly (losses.kp_focal_loss_from_points — exact same value)."""
 
     inst_valid = cls_ids >= 0                                   # [B, M]
 
@@ -115,14 +123,17 @@ def generate_targets(polys: jnp.ndarray, n_verts: jnp.ndarray, cls_ids: jnp.ndar
 
     # binary boundary mask: scatter 1s at all valid sample pixels
     # (ref generate_instance_mask :98-113; kp_annotations = mask >= 0 :312)
-    def _rasterize(pts, valid):
-        flat = pts.reshape(-1, 2)
-        vals = valid.reshape(-1).astype(jnp.float32)
-        img = jnp.zeros((h, w), jnp.float32)
-        safe = jnp.clip(flat, 0, jnp.array([h - 1, w - 1]))
-        return img.at[safe[:, 0], safe[:, 1]].max(vals)
+    if dense_kp:
+        def _rasterize(pts, valid):
+            flat = pts.reshape(-1, 2)
+            vals = valid.reshape(-1).astype(jnp.float32)
+            img = jnp.zeros((h, w), jnp.float32)
+            safe = jnp.clip(flat, 0, jnp.array([h - 1, w - 1]))
+            return img.at[safe[:, 0], safe[:, 1]].max(vals)
 
-    kp_tgt = jax.vmap(_rasterize)(points, pt_valid)
+        kp_tgt = jax.vmap(_rasterize)(points, pt_valid)
+    else:
+        kp_tgt = None
 
     return Targets(det_ann=det, centers=centers, inst_valid=inst_valid,
                    points=points, normals=normals, pt_valid=pt_valid,

@@ -79,7 +79,8 @@ def make_train_step(model: EfficientSeg, h: int, w: int,
         scales=cfg.scales, ratios=cfg.ratios))
 
     def step(state: TrainState, images, polys, n_verts, cls_ids, rng):
-        targets = generate_targets(polys, n_verts, cls_ids, h, w, max_points=max_points)
+        targets = generate_targets(polys, n_verts, cls_ids, h, w,
+                                   max_points=max_points, dense_kp=False)
 
         def loss_fn(params):
             outputs, mutated = model.apply(

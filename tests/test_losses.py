@@ -77,6 +77,15 @@ def test_kp_focal_loss(setup):
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_kp_focal_from_points_matches_dense(setup):
+    from instance_segmentation_tpu.losses import kp_focal_loss_from_points
+    rng, cls_ids, polys, packed, tg = setup
+    logits = rng.normal(size=(1, H, W, 1)).astype(np.float32)
+    dense = jax.jit(kp_focal_loss)(logits, tg.kp_tgt)
+    sparse = jax.jit(kp_focal_loss_from_points)(logits, tg)
+    np.testing.assert_allclose(sparse, dense, rtol=1e-5)
+
+
 def test_ae_loss(setup):
     rng, cls_ids, polys, packed, tg = setup
     ae = rng.normal(scale=0.5, size=(1, H, W, 4)).astype(np.float32)
