@@ -73,7 +73,6 @@ def main():
 
     ckpt_dir = cfg.get("weights_dir") or os.path.dirname(cfg.get("weights_path") or "")
     mgr = CheckpointManager(ckpt_dir or data_cfg.save_dir)
-    state, epoch, _ = mgr.restore_latest(state)
 
     eval_tf = CommonTransforms(trans_cfg, "val")
     eval_loader = data_mod.get_dataloader(
@@ -82,9 +81,20 @@ def main():
         phase=data_cfg.get("subset", "val"), transforms=eval_tf,
         max_instances=static.max_instances, max_verts=static.max_vertices)
 
-    evaluate_model(data_cfg, eval_loader, eval_tf, model, state,
-                   epoch, data_cfg.dataset, decode_cfg, logger,
-                   input_hw=input_hw)
+    if cfg.get("weights_dir"):
+        # sweep the checkpoint directory, every 10th (ref evaluate.py:112-129)
+        names = mgr.list_checkpoints()[::10] or mgr.list_checkpoints()[-1:]
+        for name in names:
+            st, epoch, _ = mgr.restore_named(name, state)
+            logger.write(f"evaluating checkpoint {name} (epoch {epoch - 1})")
+            evaluate_model(data_cfg, eval_loader, eval_tf, model, st,
+                           epoch - 1, data_cfg.dataset, decode_cfg, logger,
+                           input_hw=input_hw)
+    else:
+        state, epoch, _ = mgr.restore_latest(state)
+        evaluate_model(data_cfg, eval_loader, eval_tf, model, state,
+                       epoch, data_cfg.dataset, decode_cfg, logger,
+                       input_hw=input_hw)
 
 
 if __name__ == "__main__":

@@ -67,7 +67,10 @@ class CheckpointManager:
         names = self.list_checkpoints()
         if not names:
             return state_template, 0, 0.0
-        path = os.path.join(self.save_dir, names[-1])
+        return self.restore_named(names[-1], state_template)
+
+    def restore_named(self, name: str, state_template: Any) -> Tuple[Any, int, float]:
+        path = os.path.join(self.save_dir, name)
         template = {
             "state": jax.device_get(_savable(state_template)),
             "meta": {"epoch": np.array(0, np.int32),
