@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,13 @@ class LossConfig:
     reg_weight: float = 50.0      # regression scaling (ref :192-194)
     ae_weight: float = 1.0
     tan_weight: float = 1.0
+    ae_window: Optional[Tuple[int, int]] = None
+    # Fixed (rows, cols) crop per instance for the AE focal term. None (the
+    # default) evaluates full-image per instance — bit-exact with the
+    # reference's crop windows. A fixed window (e.g. (256, 512) at 512x1024)
+    # cuts the dominant training-loss cost ~4x; instances whose reference
+    # window (2x boundary bbox, ref loss.py:288) exceeds it lose the pixels
+    # outside the crop — only the largest objects are affected.
 
 
 def coordinate_grid(h: int, w: int) -> jnp.ndarray:
@@ -225,16 +232,32 @@ def ae_loss(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
             lt = jnp.clip(centers_int[idx] - mask_size // 2, 0, 2048)     # (ref :289)
             rb = centers_int[idx] + mask_size // 2
             rb = jnp.stack([jnp.clip(rb[0], 0, H), jnp.clip(rb[1], 0, W)])
+            c_emb = center_emb[idx]                                       # [2]
 
-            rows = jnp.arange(H)[:, None]
-            cols = jnp.arange(W)[None, :]
+            if cfg.ae_window is None:
+                wh_, ww_ = H, W
+                origin = jnp.zeros((2,), jnp.int32)
+                emb_w, sig_w = spatial_emb, sigma
+            else:
+                wh_, ww_ = cfg.ae_window
+                origin = jnp.clip(centers_int[idx] - jnp.array([wh_ // 2, ww_ // 2]),
+                                  0, jnp.array([H - wh_, W - ww_]))
+                emb_w = jax.lax.dynamic_slice(
+                    spatial_emb, (origin[0], origin[1], 0), (wh_, ww_, 2))
+                sig_w = jax.lax.dynamic_slice(
+                    sigma, (origin[0], origin[1], 0), (wh_, ww_, 2))
+
+            rows = jnp.arange(wh_)[:, None] + origin[0]
+            cols = jnp.arange(ww_)[None, :] + origin[1]
             window = ((rows >= lt[0]) & (rows < rb[0]) &
                       (cols >= lt[1]) & (cols < rb[1])).astype(jnp.float32)
             window = window * valid_f
 
-            c_emb = center_emb[idx]                                       # [2]
-            pred = jnp.exp(-jnp.sum((spatial_emb - c_emb) ** 2 * sigma, axis=-1))
-            tgt = gaussian_window_target(kps, val, H, W)
+            kps_rel = kps - origin
+            val_in = val & ((kps_rel[:, 0] >= 0) & (kps_rel[:, 0] < wh_) &
+                            (kps_rel[:, 1] >= 0) & (kps_rel[:, 1] < ww_))
+            pred = jnp.exp(-jnp.sum((emb_w - c_emb) ** 2 * sig_w, axis=-1))
+            tgt = gaussian_window_target(kps_rel, val_in, wh_, ww_)
             i_loss = focal_heatmap_loss(pred, tgt, window=window)
 
             # pull/seed term (ref :307-311): distance of each boundary

@@ -69,8 +69,10 @@ class Trainer:
         if self.start_epoch > 0:
             self.logger.write(f"resumed from epoch {self.start_epoch - 1}, best_ap={self.best_ap}")
 
+        ae_window = tuple(tpu_cfg.ae_window) if tpu_cfg and tpu_cfg.get("ae_window") else None
         self.train_step = make_train_step(
-            self.model, h, w, LossConfig(), max_points=self.static.max_points)
+            self.model, h, w, LossConfig(ae_window=ae_window),
+            max_points=self.static.max_points)
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
 
     # ------------------------------------------------------------------

@@ -95,6 +95,18 @@ def test_ae_loss(setup):
     np.testing.assert_allclose(got, want, rtol=2e-3)
 
 
+def test_ae_loss_windowed_matches_exact_when_window_covers(setup):
+    """A fixed AE window that contains every reference crop window gives the
+    exact same loss as the full-image evaluation."""
+    rng, cls_ids, polys, packed, tg = setup
+    ae = rng.normal(scale=0.5, size=(1, H, W, 4)).astype(np.float32)
+    xym = coordinate_grid(H, W)
+    exact = jax.jit(lambda a, t: ae_loss(a, t, xym))(ae, tg)
+    cfg = LossConfig(ae_window=(56, 80))
+    windowed = jax.jit(lambda a, t: ae_loss(a, t, xym, cfg))(ae, tg)
+    np.testing.assert_allclose(windowed, exact, rtol=1e-5)
+
+
 def test_tangent_loss(setup):
     rng, cls_ids, polys, packed, tg = setup
     tan = rng.normal(size=(1, H, W, 2)).astype(np.float32)
