@@ -103,16 +103,21 @@ def main():
         return decode_output(outputs, anchors, orig_hw[0], orig_hw[1],
                              float(scale), dcfg)
 
+    draw_flag = bool(decode_cfg.get("draw_flag"))
+
     def handle(images_np, infos):
         dets = infer(state.params, state.batch_stats, images_np)
         det_lists = detections_to_json(dets, infos)
-        for det_list, info in zip(det_lists, infos):
+        for i, (det_list, info) in enumerate(zip(det_lists, infos)):
             img = cv2.imread(info.img_path)
             polys = [np.asarray(d[3], np.float32) for d in det_list]
             img = visualize_instances(img, polys)
             out = os.path.join(data_cfg.save_dir, os.path.basename(info.img_path))
             cv2.imwrite(out, img)
             logger.write(f"wrote {out} ({len(det_list)} instances)")
+            if draw_flag:
+                from instance_segmentation_tpu.utils.debug_draw import dump_detections
+                dump_detections(dets, i, info.img_path, data_cfg.save_dir)
 
     if imgs is not None:
         from instance_segmentation_tpu.transforms import TransInfo
