@@ -29,20 +29,30 @@ def regular_polygon(rng, cy, cx, r_base, n_min=6, n_max=12):
     return np.stack([xs, ys], axis=1)     # (x, y)
 
 
+# class-correlated appearance so the classification task is learnable:
+# each class has a distinct base colour (small jitter added per instance)
+_CLASS_COLORS = np.array([
+    (220, 40, 60), (40, 220, 60), (40, 60, 220), (220, 220, 40),
+    (220, 40, 220), (40, 220, 220), (240, 140, 40), (140, 40, 240),
+], np.float64)
+
+
 def make_image(rng, h, w, n_instances):
     img = (rng.normal(110, 25, size=(h, w, 3))).clip(0, 255).astype(np.uint8)
     # horizon gradient for texture
     img = cv2.GaussianBlur(img, (0, 0), 3)
     objects = []
     for _ in range(n_instances):
-        cls = CLASSES[int(rng.integers(0, len(CLASSES)))]
+        cls_id = int(rng.integers(0, len(CLASSES)))
+        cls = CLASSES[cls_id]
         r = float(rng.uniform(min(h, w) * 0.06, min(h, w) * 0.2))
         cy = float(rng.uniform(r + 8, h - r - 8))
         cx = float(rng.uniform(r + 8, w - r - 8))
         poly = regular_polygon(rng, cy, cx, r)
         poly[:, 0] = poly[:, 0].clip(2, w - 3)
         poly[:, 1] = poly[:, 1].clip(2, h - 3)
-        color = tuple(int(c) for c in rng.integers(40, 240, 3))
+        color = tuple(int(c) for c in np.clip(
+            _CLASS_COLORS[cls_id] + rng.normal(0, 12, 3), 0, 255))
         cv2.fillPoly(img, [poly.astype(np.int32)], color)
         cv2.polylines(img, [poly.astype(np.int32)], True,
                       tuple(min(255, c + 40) for c in color), 2)

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Learning capstone: overfit a tiny synthetic set and score instance AP.
+
+Generates 4 synthetic Cityscapes-format images (class-colored polygon blobs),
+trains EfficientSeg-B0 for a few thousand steps with the full compiled step
+(on-device targets + all four losses), then runs the complete eval pipeline
+(on-device decode -> polygons -> mask AP). Verifies end-to-end that the
+training objective and the decode/grouping machinery cooperate.
+
+Round-1 reference result (TPU v5e, 2400 steps, ~5 min):
+    loss 1211 -> ~35;  AP = 0.28, AP50 = 0.42 on the training images.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit"):
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("ISEG_JIT_CACHE", "/tmp/iseg_jit_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from make_synthetic_cityscapes import generate
+    from instance_segmentation_tpu.configs import Config, Configer
+    from instance_segmentation_tpu.data import get_dataloader
+    from instance_segmentation_tpu.evaluation import evaluate_model
+    from instance_segmentation_tpu.models import EfficientSeg, EfficientSegConfig
+    from instance_segmentation_tpu.parallel import create_train_state, make_train_step
+    from instance_segmentation_tpu.parallel.train_step import make_optimizer
+    from instance_segmentation_tpu.transforms import CommonTransforms
+    from instance_segmentation_tpu.utils.logger import Logger
+
+    root = os.path.join(out, "data")
+    if not os.path.isdir(root):
+        generate(root, splits=(("train", 4),), h=512, w=1024, seed=21,
+                 instances=(2, 4))
+        shutil.copytree(os.path.join(root, "leftImg8bit", "train"),
+                        os.path.join(root, "leftImg8bit", "val"))
+        shutil.copytree(os.path.join(root, "gtFine", "train"),
+                        os.path.join(root, "gtFine", "val"))
+
+    trans = Configer({
+        "train_trans": {"trans_seq": ["resize"], "resize": {"target_size": 2}},
+        "val_trans": {"trans_seq": ["resize"], "resize": {"target_size": 2}},
+        "normalize": {"div_value": 255.0, "mean": [0.485, 0.456, 0.406],
+                      "std": [0.229, 0.224, 0.225]}})
+    loader = get_dataloader(2, "cityscapes", root, "train",
+                            transforms=CommonTransforms(trans, "train", seed=0),
+                            max_instances=16, max_verts=64, seed=0)
+
+    H, W = 256, 512
+    model = EfficientSeg(EfficientSegConfig(
+        num_classes=8, compound_coef=0, compute_dtype=jnp.bfloat16))
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, H, W, 3),
+                               make_optimizer("Adam", lr))
+    step = make_train_step(model, H, W, max_points=512)
+    rng = jax.random.PRNGKey(1)
+
+    t0, it = time.time(), 0
+    while it < steps:
+        for images, packed, infos in loader:
+            rng, k = jax.random.split(rng)
+            state, stats = step(state, images, packed.polys, packed.n_verts,
+                                packed.cls_ids, k)
+            if it % 200 == 0:
+                print(f"it {it:5d} loss {float(stats['total_loss']):9.3f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            it += 1
+            if it >= steps:
+                break
+
+    eval_loader = get_dataloader(2, "cityscapes", root, "val",
+                                 transforms=CommonTransforms(trans, "val", seed=0),
+                                 max_instances=16, max_verts=64)
+    save_dir = os.path.join(out, "eval")
+    os.makedirs(save_dir, exist_ok=True)
+    data_cfg = Config({"save_dir": save_dir, "num_classes": 8,
+                       "eval_dir": root, "train_dir": root})
+    decode_cfg = Config({"cls_th": 0.3, "iou_th": 0.2, "kp_th": 20000,
+                         "obj_pixel_th": 2, "wh_delta": 0.1, "draw_flag": False})
+    _, ap, results = evaluate_model(
+        data_cfg, eval_loader, None, model, state, 0, "cityscapes",
+        decode_cfg, Logger(save_dir), input_hw=(H, W), orig_hw=(512, 1024))
+    print(json.dumps({"AP": results["AP"], "AP50": results["AP50"]}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2400)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--out", default="/tmp/iseg_overfit")
+    a = ap.parse_args()
+    main(a.steps, a.lr, a.out)
