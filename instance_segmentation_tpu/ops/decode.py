@@ -51,6 +51,14 @@ class DecodeConfig:
     pair_candidates: int = 12     # points tried for the internal-point fallback
     exact_topk: bool = True       # exact batched top_k (fast at top level);
                                   # False uses approx_max_k (recall 0.95)
+    group_mode: str = "affinity"  # "affinity": reference Gaussian-affinity
+                                  # argmax (ref group_kp :326-328);
+                                  # "kmeans": refine assignments with
+                                  # fixed-iteration Lloyd clustering of the
+                                  # keypoint embeddings seeded at the detected
+                                  # centers (the reference ships this as an
+                                  # unused alternative, utils/kmeans.py)
+    kmeans_iters: int = 5
 
 
 class Detections(NamedTuple):
@@ -507,6 +515,21 @@ def decode_output(outputs, anchors: jnp.ndarray, orig_h: int, orig_w: int,
     # the reference behaves identically (group_kp :328 argmax over the masked
     # affinity), relying on the ghost filter to drop strays.
     assign = jnp.argmax(scored, axis=-1)                              # [B,K]
+
+    if cfg.group_mode == "kmeans":
+        # optional Lloyd refinement in embedding space, seeded at the center
+        # embeddings (on-device version of the reference's alternative
+        # grouping, utils/kmeans.py:16-93); box containment still applies.
+        from instance_segmentation_tpu.ops.kmeans import kmeans as _kmeans
+
+        def refine(e, seeds, kv):
+            labels, _ = _kmeans(e, seeds, valid=kv, num_iters=cfg.kmeans_iters)
+            return labels
+        km = jax.vmap(refine)(emb, c_emb, kp_ok)                      # [B,K]
+        in_box = jnp.take_along_axis(
+            contained, jnp.clip(km, 0, contained.shape[-1] - 1)[..., None],
+            axis=-1)[..., 0]
+        assign = jnp.where((km < contained.shape[-1]) & in_box, km, assign)
 
     polys, lens, centers, obj_ok = assemble_objects(
         kp_rc, kp_ok, assign, boxes, det_valid,
