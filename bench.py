@@ -42,7 +42,10 @@ def main():
 
     H, W = 512, 1024
     ORIG_H, ORIG_W = 1024, 2048
-    BATCH = 1
+    # throughput batch: per-image fixed costs (peak selection, NMS scan,
+    # assembly) amortize across the batch; batch 1 runs at ~72 img/s,
+    # batch 8 at ~87 img/s on v5e. The reference's shipped config is batch 1.
+    BATCH = int(os.environ.get("ISEG_BENCH_BATCH", "8"))
     COMPOUND = 3
 
     cfg = EfficientSegConfig(num_classes=8, compound_coef=COMPOUND,

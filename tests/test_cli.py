@@ -64,6 +64,28 @@ def test_test_cli(smoke_tree):
     assert len(outs) == 2
 
 
+def test_train_cli(smoke_tree):
+    base, root, cfg_dir = smoke_tree
+    cfg = {"data": {"train_dir": root, "save_dir": str(base / "ckpt"),
+                    "dataset": "cityscapes", "batch_size": 2, "num_classes": -1},
+           "optimizer": {"lr": 1e-4, "type": "Adam", "momentum": 0.9},
+           "max_iter": 1, "num_epochs": 1, "save_span": 1000, "seed": 1,
+           "compound_coef": 0,
+           "anchors_scales": "[2 ** 0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0)]",
+           "anchors_ratios": "[(1.0, 1.0), (1.4, 0.7), (0.7, 1.4)]",
+           "pretrained_path": None, "start_eval_epoch": 10**9,
+           "decode_cfg_path": str(cfg_dir / "decode.yaml"),
+           "trans_cfg_path": str(cfg_dir / "trans.json"),
+           "tpu": {"compute_dtype": "float32", "input_size": [128, 256]},
+           "static": {"max_instances": 8, "max_vertices": 16, "max_points": 128}}
+    p = cfg_dir / "train.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    r = _run("train.py", p)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpts = [f for f in os.listdir(base / "ckpt") if f.startswith("efficient_weights_")]
+    assert ckpts
+
+
 def test_evaluate_cli(smoke_tree):
     base, root, cfg_dir = smoke_tree
     cfg = {"data": {"eval_dir": root, "save_dir": str(base / "eval_out"),
