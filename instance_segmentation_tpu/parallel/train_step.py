@@ -71,14 +71,24 @@ def create_train_state(model: EfficientSeg, rng, input_shape: Tuple[int, int, in
 def make_train_step(model: EfficientSeg, h: int, w: int,
                     loss_cfg: LossConfig = LossConfig(),
                     max_points: int = 2048,
-                    donate: bool = True) -> Callable:
-    """Returns train_step(state, images, polys, n_verts, cls_ids, rng)."""
+                    donate: bool = True,
+                    device_aug: bool = False) -> Callable:
+    """Returns train_step(state, images, polys, n_verts, cls_ids, rng).
+
+    device_aug=True applies the random hflip + brightness augmentation inside
+    the compiled step (ops/device_aug.py) — the host pipeline should then run
+    only the deterministic resize.
+    """
     cfg = model.cfg
     anchors = jnp.asarray(generate_anchors(
         h, w, pyramid_levels=cfg.pyramid_levels, anchor_scale=cfg.anchor_scale,
         scales=cfg.scales, ratios=cfg.ratios))
 
     def step(state: TrainState, images, polys, n_verts, cls_ids, rng):
+        if device_aug:
+            from instance_segmentation_tpu.ops.device_aug import random_hflip_brightness
+            rng, aug_rng = jax.random.split(rng)
+            images, polys = random_hflip_brightness(images, polys, aug_rng)
         targets = generate_targets(polys, n_verts, cls_ids, h, w,
                                    max_points=max_points, dense_kp=False)
 
