@@ -26,8 +26,11 @@ from instance_segmentation_tpu.data.dataset import is_train_phase
 from instance_segmentation_tpu.data.dir import DirDatasetBuilder
 from instance_segmentation_tpu.data.packing import PackedLabels, pack_batch
 
+from instance_segmentation_tpu.data.packed_dataset import PackedCityscapesDatasetBuilder
+
 datasetBuildersMap = {
     "cityscapes": CityscapesDatasetBuilder,
+    "cityscapes_packed": PackedCityscapesDatasetBuilder,
     "coco": COCODatasetBuilder,
     "dir": DirDatasetBuilder,
 }
@@ -82,7 +85,15 @@ class BatchLoader:
         images = np.stack(images)
         packed: Optional[PackedLabels] = None
         if self.with_label and labels[0] is not None:
-            packed = pack_batch(labels, self.max_instances, self.max_verts)
+            if isinstance(labels[0], tuple) and len(labels[0]) == 4 \
+                    and labels[0][0] == "packed":
+                # offline pre-packed labels (data/packed_dataset.py)
+                packed = PackedLabels(
+                    np.stack([l[1] for l in labels]),
+                    np.stack([l[2] for l in labels]),
+                    np.stack([l[3] for l in labels]))
+            else:
+                packed = pack_batch(labels, self.max_instances, self.max_verts)
         return images, packed, infos
 
     def _index_batches(self):

@@ -70,9 +70,12 @@ class Trainer:
             self.logger.write(f"resumed from epoch {self.start_epoch - 1}, best_ap={self.best_ap}")
 
         ae_window = tuple(tpu_cfg.ae_window) if tpu_cfg and tpu_cfg.get("ae_window") else None
+        # tpu.device_aug: hflip+brightness run inside the compiled step
+        # (ops/device_aug.py); configure the host trans_seq with resize only.
+        device_aug = bool(tpu_cfg.get("device_aug")) if tpu_cfg else False
         self.train_step = make_train_step(
             self.model, h, w, LossConfig(ae_window=ae_window),
-            max_points=self.static.max_points)
+            max_points=self.static.max_points, device_aug=device_aug)
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
 
     # ------------------------------------------------------------------
