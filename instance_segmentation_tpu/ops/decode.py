@@ -434,6 +434,29 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
     return poly, n, centers, ok
 
 
+def render_masks(dets: "Detections", h: int, w: int,
+                 max_masks: int | None = None) -> jnp.ndarray:
+    """Rasterize decoded polygons to instance masks ON DEVICE.
+
+    dets: a Detections batch; returns bool [B, D', h, w] with D' =
+    max_masks or D. Replaces the reference's host-side cv2.fillPoly in the
+    eval protocol (ref utils/eval_util.py:118, utils/image.py:180-185) —
+    masks never round-trip through the host (the north-star requirement).
+    Invalid detections render empty.
+    """
+    from instance_segmentation_tpu.ops.geometry import rasterize_polygon
+
+    polys = dets.polygons
+    valid = dets.obj_valid
+    if max_masks is not None:
+        polys = polys[:, :max_masks]
+        valid = valid[:, :max_masks]
+    # polygons are (x, y); rasterize_polygon expects (row, col)
+    polys_rc = jnp.stack([polys[..., 1], polys[..., 0]], axis=-1)
+    masks = jax.vmap(jax.vmap(lambda p: rasterize_polygon(p, h, w)))(polys_rc)
+    return masks & valid[..., None, None]
+
+
 def decode_centers(conf_hm: jnp.ndarray, cls_hm: jnp.ndarray, wh_map: jnp.ndarray,
                    num_centers: int, iou_th: float = 0.5,
                    max_out: int = 96):

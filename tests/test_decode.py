@@ -113,6 +113,52 @@ def test_exact_topk_indices():
         assert np.all(np.diff(idx[b]) > 0)
 
 
+def test_render_masks_on_device():
+    """End-to-end: decoded polygons rasterize to masks on device that agree
+    with cv2.fillPoly of the same polygons."""
+    import cv2
+    from instance_segmentation_tpu.ops.decode import render_masks
+    H, W = 128, 192
+    kp, ae, tan, squares = _synthetic_scene(H, W)
+    from instance_segmentation_tpu.models.anchors import generate_anchors
+    anchors = generate_anchors(H, W, pyramid_levels=(3, 4, 5))
+    A = anchors.shape[0]
+    cls_prob = np.full((1, A, 3), 1e-3, np.float32)
+    reg = np.zeros((1, A, 4), np.float32)
+    for (y1, x1), (y2, x2), cls in squares:
+        gt = np.array([x1, y1, x2, y2], np.float32)
+        ax1, ay1, ax2, ay2 = anchors[:, 1], anchors[:, 0], anchors[:, 3], anchors[:, 2]
+        iw = np.clip(np.minimum(ax2, gt[2]) - np.maximum(ax1, gt[0]), 0, None)
+        ih = np.clip(np.minimum(ay2, gt[3]) - np.maximum(ay1, gt[1]), 0, None)
+        inter = iw * ih
+        union = (ax2 - ax1) * (ay2 - ay1) + (gt[2] - gt[0]) * (gt[3] - gt[1]) - inter
+        best = int(np.argmax(inter / np.clip(union, 1e-8, None)))
+        cls_prob[0, best, cls] = 0.9
+        aw, ah = ax2[best] - ax1[best], ay2[best] - ay1[best]
+        acx, acy = (ax1[best] + ax2[best]) / 2, (ay1[best] + ay2[best]) / 2
+        reg[0, best] = [((gt[1] + gt[3]) / 2 - acy) / ah, ((gt[0] + gt[2]) / 2 - acx) / aw,
+                        np.log((gt[3] - gt[1]) / ah), np.log((gt[2] - gt[0]) / aw)]
+    cfg = DecodeConfig(kp_th=2000, pre_nms=64, max_dets=8, max_poly=512)
+    outputs = tuple(map(jnp.asarray, (kp, ae, tan, reg, cls_prob)))
+    dets = jax.jit(lambda o: decode_output(
+        o, jnp.asarray(anchors), H * 2, W * 2, 2.0, cfg))(outputs)
+    masks = np.asarray(jax.jit(
+        lambda d: render_masks(d, H * 2, W * 2, max_masks=4))(dets))
+    obj_valid = np.asarray(dets.obj_valid[0])[:4]
+    polys = np.asarray(dets.polygons[0])
+    lens = np.asarray(dets.poly_len[0])
+    assert masks.shape == (1, 4, H * 2, W * 2)
+    for d in range(4):
+        if not obj_valid[d]:
+            assert masks[0, d].sum() == 0
+            continue
+        ref = np.zeros((H * 2, W * 2), np.uint8)
+        cv2.fillPoly(ref, [polys[d][: lens[d]].astype(np.int32)], 1)
+        inter = np.logical_and(masks[0, d], ref).sum()
+        union = np.logical_or(masks[0, d], ref).sum()
+        assert inter / union > 0.97       # <=1px boundary conventions differ
+
+
 def test_decode_centers():
     from instance_segmentation_tpu.ops.decode import decode_centers
     H, W = 64, 96
