@@ -52,7 +52,6 @@ def decode_cfg_from(cfg) -> DecodeConfig:
 def detections_to_json(dets, infos) -> List[List]:
     """Packed device Detections -> reference-format per-image det lists."""
     out = []
-    boxes = np.asarray(dets.scores)
     classes = np.asarray(dets.classes)
     scores = np.asarray(dets.scores)
     centers = np.asarray(dets.centers)

@@ -13,7 +13,6 @@ Loss names and weighting match the reference exactly:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

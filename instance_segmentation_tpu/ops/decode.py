@@ -26,7 +26,6 @@ ref utils/tranform.py:157-171 detransform_pixel).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
