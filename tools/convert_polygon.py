@@ -9,6 +9,13 @@ become simple filled ones, rewriting *_gtFine_polygons.json ->
 
 from __future__ import annotations
 
+import os
+import sys
+
+# make the repo root importable when run as a script
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import os

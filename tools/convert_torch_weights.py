@@ -24,6 +24,13 @@ Usage:
 
 from __future__ import annotations
 
+import os
+import sys
+
+# make the repo root importable when run as a script
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import re
 from typing import Any, Dict, Tuple

@@ -13,6 +13,13 @@ Round-1 reference result (TPU v5e, 2400 steps, ~5 min):
 
 from __future__ import annotations
 
+import os
+import sys
+
+# make the repo root importable when run as a script
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import os

@@ -12,6 +12,13 @@ of re-parsing JSON every epoch.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# make the repo root importable when run as a script
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import os

@@ -27,6 +27,8 @@ def _platform_override():
 
 def main():
     _platform_override()
+    from instance_segmentation_tpu.parallel.multihost import maybe_initialize_multihost
+    maybe_initialize_multihost()
     parser = argparse.ArgumentParser(description="training")
     parser.add_argument("--cfg_path", dest="cfg_path", type=str, default=None,
                         help="path to the train config yaml")
