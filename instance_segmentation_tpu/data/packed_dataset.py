@@ -52,12 +52,19 @@ class PackedCityscapesDataset:
 
     def __getitem__(self, index: int):
         img_path, packed_path = self.items[index]
-        img = load_rgb_image(img_path)
-        h, w = img.shape[:2]
-        scale = 1.0 / self.target_size
-        img = cv2.resize(img, (int(w * scale), int(h * scale)),
-                         interpolation=cv2.INTER_LINEAR)
         blob = np.load(packed_path)
+        h, w = int(blob["img_h"]), int(blob["img_w"])
+        # prefer the pre-resized image cache (preprocess --cache_images);
+        # fall back to decode+resize
+        key = os.path.basename(packed_path).rsplit("_gtFine_polygons", 1)[0]
+        cached = os.path.join(os.path.dirname(packed_path), key + "_img.npy")
+        if os.path.exists(cached):
+            img = np.load(cached)
+        else:
+            img = load_rgb_image(img_path)
+            scale = 1.0 / self.target_size
+            img = cv2.resize(img, (int(w * scale), int(h * scale)),
+                             interpolation=cv2.INTER_LINEAR)
         label = ("packed", blob["polys"], blob["n_verts"], blob["cls_ids"])
         return img, label, TransInfo(img_path, (h, w))
 

@@ -107,7 +107,8 @@ def test_packed_dataset_loader(synth_root, tmp_path):
     from instance_segmentation_tpu.data import get_dataloader
     packed_dir = str(tmp_path / "packed")
     preprocess(synth_root, "val", packed_dir, target_size=2, max_instances=8,
-               max_verts=32, workers=1)
+               max_verts=32, workers=1, cache_images=True)
+    assert any(f.endswith("_img.npy") for f in os.listdir(packed_dir))
     # point the builder at the packed dir via the conventional location
     dest = os.path.join(synth_root, "packed", "val")
     os.makedirs(os.path.dirname(dest), exist_ok=True)

@@ -31,7 +31,7 @@ from instance_segmentation_tpu.data.packing import pack_label
 
 
 def process_item(args):
-    gt_path, out_dir, target_size, max_instances, max_verts = args
+    gt_path, out_dir, target_size, max_instances, max_verts, cache_images = args
     with open(gt_path) as f:
         blob = json.load(f)
     cls_ids, polygons = parse_label_json(blob)
@@ -44,17 +44,34 @@ def process_item(args):
     out = os.path.join(out_dir, base + ".npz")
     np.savez_compressed(out, polys=polys, n_verts=n_verts, cls_ids=cls_arr,
                         img_h=blob.get("imgHeight", 1024), img_w=blob.get("imgWidth", 2048))
+    if cache_images:
+        # pre-resize the matching leftImg8bit frame so training skips the
+        # per-step PNG decode + resize (the 1-core-host bottleneck)
+        import cv2
+        from instance_segmentation_tpu.data.cityscapes import load_rgb_image
+        img_path = gt_path.replace("gtFine", "leftImg8bit", 1).replace(
+            "_leftImg8bit_polygons.json", "_leftImg8bit.png").replace(
+            "_gtFine_polygons.json", "_leftImg8bit.png")
+        if os.path.exists(img_path):
+            img = load_rgb_image(img_path)
+            h, w = img.shape[:2]
+            img = cv2.resize(img, (int(w * scale), int(h * scale)),
+                             interpolation=cv2.INTER_LINEAR)
+            key = base.rsplit("_gtFine_polygons", 1)[0]
+            np.save(os.path.join(out_dir, key + "_img.npy"), img)
     return out
 
 
 def preprocess(root: str, subset: str, out_dir: str, target_size: int = 2,
-               max_instances: int = 96, max_verts: int = 256, workers: int = 1):
+               max_instances: int = 96, max_verts: int = 256, workers: int = 1,
+               cache_images: bool = False):
     labels_root = os.path.join(root, "gtFine", subset)
     gt_files = sorted(
         os.path.join(dp, f) for dp, _, fn in os.walk(labels_root)
         for f in fn if is_label_file(f))
     os.makedirs(out_dir, exist_ok=True)
-    tasks = [(g, out_dir, target_size, max_instances, max_verts) for g in gt_files]
+    tasks = [(g, out_dir, target_size, max_instances, max_verts, cache_images)
+             for g in gt_files]
     if workers > 1:
         with Pool(workers) as pool:
             outs = pool.map(process_item, tasks)
@@ -76,6 +93,8 @@ if __name__ == "__main__":
     ap.add_argument("--max_instances", type=int, default=96)
     ap.add_argument("--max_verts", type=int, default=256)
     ap.add_argument("--workers", type=int, default=max(1, (os.cpu_count() or 1)))
+    ap.add_argument("--cache_images", action="store_true",
+                    help="also pre-resize and cache the leftImg8bit frames")
     a = ap.parse_args()
     preprocess(a.root, a.subset, a.out, a.target_size, a.max_instances,
-               a.max_verts, a.workers)
+               a.max_verts, a.workers, a.cache_images)
