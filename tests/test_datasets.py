@@ -84,6 +84,35 @@ def test_coco_dataset(tmp_path):
     np.testing.assert_array_equal(polys[0][0], [10, 10])
 
 
+def test_coco_end_to_end_batch(tmp_path):
+    """COCO registry path all the way through packing into a train batch."""
+    import cv2
+    from instance_segmentation_tpu.data import get_dataloader
+    sub = tmp_path / "train"
+    sub.mkdir()
+    rng = np.random.default_rng(0)
+    images, anns = [], []
+    for i in range(2):
+        img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        cv2.imwrite(str(sub / f"im{i}.png"), img)
+        images.append({"id": i, "file_name": f"im{i}.png", "height": 64, "width": 96})
+        anns.append({"image_id": i, "category_id": 1 + i,
+                     "segmentation": [[10, 10, 50, 10, 50, 40, 10, 40]]})
+    with open(sub / "instances.json", "w") as f:
+        json.dump({"images": images, "annotations": anns}, f)
+
+    tf = CommonTransforms(TRANS, "train", seed=0)
+    loader = get_dataloader(2, "coco", str(tmp_path), "train", transforms=tf,
+                            max_instances=4, max_verts=8, seed=0)
+    images_b, packed, infos = next(iter(loader))
+    assert images_b.shape == (2, 32, 48, 3)
+    assert packed.polys.shape == (2, 4, 8, 2)
+    assert (packed.cls_ids >= 0).any()
+    # polygons are (row, col) at the resized scale
+    valid = packed.cls_ids[0] >= 0
+    assert packed.polys[0][valid].max() <= 48
+
+
 def test_preprocess_tool(synth_root, tmp_path):
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
