@@ -159,23 +159,19 @@ def evaluate_from_json(data_cfg, epoch: int, output_dir: str, dataset: str,
     return results
 
 
-def _maybe_official_eval(data_cfg, epoch, output_dir, dataset, logger,
-                         dets_list, info_list, num_classes):
-    """Write official result files + run cityscapesscripts if importable
-    (golden harness, ref eval_util.py:74-127)."""
-    try:
-        import cityscapesscripts  # noqa: F401
-    except ImportError:
-        return
+def write_official_results(output_dir, dataset, dets_list, info_list,
+                           num_classes) -> int:
+    """Emit the official Cityscapes result-file format: per-instance binary
+    PNGs under results/ plus one <base>pred.txt per image with
+    "<png> <labelId> <score>" lines (ref eval_util.py:100-125). Returns the
+    number of instances written. Usable independently of cityscapesscripts
+    (e.g. for submitting to the evaluation server)."""
     eval_labels = data_mod.get_eval_labels(dataset)
     label_names = [l[1] for l in eval_labels]
     label_ids = [l[2] for l in eval_labels]
     results_dir = os.path.join(output_dir, "results")
     os.makedirs(results_dir, exist_ok=True)
-    os.environ["CITYSCAPES_DATASET"] = data_cfg.get("eval_dir") or data_cfg.get("train_dir")
-    os.environ["CITYSCAPES_RESULTS"] = output_dir
-    import cityscapesscripts.evaluation.evalInstanceLevelSemanticLabeling as cs_eval
-
+    n = 0
     for dets, info in zip(dets_list, info_list):
         img_path, img_size = info[0], tuple(info[1])
         base = os.path.splitext(os.path.basename(img_path))[0]
@@ -190,6 +186,23 @@ def _maybe_official_eval(data_cfg, epoch, output_dir, dataset, logger,
                     png = os.path.join("results", f"{base}_{label_names[j]}_{k}.png")
                     fid.write(f"{png} {label_ids[j]} {score}\n")
                     cv2.imwrite(os.path.join(output_dir, png), mask * 255)
+                    n += 1
+    return n
+
+
+def _maybe_official_eval(data_cfg, epoch, output_dir, dataset, logger,
+                         dets_list, info_list, num_classes):
+    """Write official result files + run cityscapesscripts if importable
+    (golden harness, ref eval_util.py:74-127)."""
+    try:
+        import cityscapesscripts  # noqa: F401
+    except ImportError:
+        return
+    os.environ["CITYSCAPES_DATASET"] = data_cfg.get("eval_dir") or data_cfg.get("train_dir")
+    os.environ["CITYSCAPES_RESULTS"] = output_dir
+    import cityscapesscripts.evaluation.evalInstanceLevelSemanticLabeling as cs_eval
+
+    write_official_results(output_dir, dataset, dets_list, info_list, num_classes)
     logger.write("running official cityscapesscripts evaluation...")
     cs_eval.main()
 
