@@ -11,10 +11,11 @@ decode — box decode + class-aware NMS + top-20k boundary peaks + Gaussian
 affinity grouping + polygon assembly — all on device (ops/decode.py). The
 timed unit is "original frame in -> packed instance polygons on device".
 
-vs_baseline compares against the measured PyTorch reference throughput in
-BENCH_BASELINE.json (tools/bench_reference_torch.py — reference forward
-ONLY, on this host's CPU since no CUDA device exists here; its decode stage
-is excluded, which favours the reference).
+vs_baseline compares against the measured PyTorch reference full-path
+(forward + its decode) throughput in BENCH_BASELINE.json
+(tools/bench_reference_decode.py, run on this host's CPU since no CUDA
+device exists here) — apples-to-apples with the timed unit above. When only
+the forward-only baseline entry exists it falls back to that.
 """
 
 from __future__ import annotations

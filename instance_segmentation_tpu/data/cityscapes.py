@@ -114,6 +114,39 @@ def parse_label_json(label_json: dict) -> Tuple[List[int], List[np.ndarray]]:
     return cls_ids, polygons
 
 
+def parse_eval_label_json(label_json: dict):
+    """gtFine polygons -> official-eval ground truth.
+
+    Returns (cls_ids, polygons, is_group, void_polygons):
+      * instance-class objects (the 8 scored classes) with is_group=False;
+      * `<class>group` objects (e.g. "cargroup" — the official instID<1000
+        group regions, cityscapesscripts name2label endswith('group')
+        handling) mapped to the base class with is_group=True;
+      * void_polygons: objects whose label has ignoreInEval=True (incl.
+        hasInstances classes like caravan/trailer that the official
+        instance benchmark treats as void) — the FP-discount regions.
+    Other stuff labels (road, sky, ...) are skipped: not scored, not void.
+    """
+    cls_ids: List[int] = []
+    polygons: List[np.ndarray] = []
+    is_group: List[bool] = []
+    void_polys: List[np.ndarray] = []
+    for obj in label_json.get("objects", []):
+        name = obj["label"]
+        poly = np.asarray(obj["polygon"], dtype=np.int32)
+        if name in name2index:
+            cls_ids.append(name2index[name])
+            polygons.append(poly)
+            is_group.append(False)
+        elif name.endswith("group") and name[:-len("group")] in name2index:
+            cls_ids.append(name2index[name[:-len("group")]])
+            polygons.append(poly)
+            is_group.append(True)
+        elif name in name2label and name2label[name].ignoreInEval:
+            void_polys.append(poly)
+    return cls_ids, polygons, is_group, void_polys
+
+
 class CityscapesDataset:
     """Map-style dataset over a Cityscapes directory tree."""
 

@@ -1,27 +1,39 @@
-"""Cityscapes-style instance-level average precision.
+"""Cityscapes instance-level average precision — official protocol, native.
 
-A native implementation of the instance-segmentation AP protocol the
-reference delegates to `cityscapesscripts` (ref utils/eval_util.py:96-127):
-per-class AP averaged over mask-IoU thresholds 0.50:0.05:0.95 ("AP") and at
-0.50 ("AP50"), with greedy score-ordered matching of predictions to ground
-truth. When the official `cityscapesscripts` package is installed the eval
-loop can additionally emit the official result-file format
-(per-instance PNGs + pred.txt) and invoke it as a golden harness; this module
-keeps the inner loop dependency-free.
+A dependency-free implementation of the exact matching/averaging rules of
+`cityscapesscripts/evaluation/evalInstanceLevelSemanticLabeling.py`, which
+the reference delegates to (ref utils/eval_util.py:96-127). Semantics
+covered (verified against the official source's published algorithm):
 
-IoUs are computed on rasterized polygon masks with bbox pruning, at original
-image resolution.
+  * per-class y_true/y_score accumulation over images; AP integrated with
+    the official step-width convolution, averaged over mask-IoU thresholds
+    0.50:0.05:0.95 ("AP") and reported at 0.50 ("AP50");
+  * `*group` ground-truth regions (``InstanceGT.is_group``, the official
+    ``instID < 1000``) and instances smaller than ``min_region_size``
+    (official minRegionSizes=[100]) are excluded from matching, and their
+    pixels count as ignore overlap for unmatched predictions;
+  * an unmatched prediction becomes a false positive only when its ignore
+    fraction (void pixels + same-class group/small-instance intersections,
+    divided by the prediction's pixel count) is <= the IoU threshold —
+    otherwise it is discarded (official "void-region discounting");
+  * a ground truth matched by several predictions keeps the highest score
+    as its true positive; each further match appends a false positive with
+    the lower score (official multi-match rule — NOT greedy one-to-one);
+  * classes with no ground truth anywhere are excluded from the mean.
+
+IoUs are computed on rasterized polygon masks at original image resolution.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
 
 OVERLAPS = tuple(np.arange(0.5, 1.0, 0.05))
+MIN_REGION_SIZE = 100      # official args.minRegionSizes[0] for Cityscapes
 
 
 @dataclass
@@ -37,6 +49,7 @@ class InstanceGT:
     image_id: str
     cls_id: int
     polygon: np.ndarray          # [n, 2] (x, y)
+    is_group: bool = False       # `*group` label (official instID < 1000)
 
 
 def _poly_mask(poly: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
@@ -45,33 +58,77 @@ def _poly_mask(poly: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
     return mask
 
 
-def _mask_iou_matrix(preds: List[np.ndarray], gts: List[np.ndarray],
-                     hw: Tuple[int, int]) -> np.ndarray:
-    """IoU between prediction and GT polygons via rasterized masks."""
-    pm = [_poly_mask(p, hw) for p in preds]
-    gm = [_poly_mask(g, hw) for g in gts]
-    out = np.zeros((len(pm), len(gm)), np.float64)
-    p_sum = [int(m.sum()) for m in pm]
-    g_sum = [int(m.sum()) for m in gm]
-    for i, a in enumerate(pm):
-        for j, b in enumerate(gm):
-            inter = int(np.logical_and(a, b).sum())
-            union = p_sum[i] + g_sum[j] - inter
-            out[i, j] = inter / union if union > 0 else 0.0
-    return out
+class _ImageClassData:
+    """Per-(image, class) rasterized masks + pairwise intersections."""
+
+    def __init__(self, preds: List[InstancePrediction], gts: List[InstanceGT],
+                 hw: Tuple[int, int], void_mask: Optional[np.ndarray]):
+        self.preds = preds
+        self.gts = gts
+        pm = [_poly_mask(p.polygon, hw).astype(bool) for p in preds]
+        gm = [_poly_mask(g.polygon, hw).astype(bool) for g in gts]
+        self.pred_px = np.array([int(m.sum()) for m in pm], np.int64)
+        self.gt_px = np.array([int(m.sum()) for m in gm], np.int64)
+        self.inter = np.zeros((len(pm), len(gm)), np.int64)
+        for i, a in enumerate(pm):
+            for j, b in enumerate(gm):
+                self.inter[i, j] = int(np.logical_and(a, b).sum())
+        if void_mask is not None and len(pm):
+            self.void_inter = np.array(
+                [int(np.logical_and(m, void_mask).sum()) for m in pm], np.int64)
+        else:
+            self.void_inter = np.zeros(len(pm), np.int64)
+
+    def iou(self, pi: int, gi: int) -> float:
+        union = self.pred_px[pi] + self.gt_px[gi] - self.inter[pi, gi]
+        return float(self.inter[pi, gi]) / union if union > 0 else 0.0
+
+
+def _official_ap(y_true: np.ndarray, y_score: np.ndarray, hard_fns: int,
+                 have_gt: bool) -> float:
+    """Official computeAverages AP integration (step-width convolution)."""
+    n = len(y_score)
+    if n == 0:
+        return 0.0 if have_gt else float("nan")
+    order = np.argsort(y_score)                       # ascending (official)
+    y_score = y_score[order]
+    y_true = y_true[order]
+    cum_true = np.cumsum(y_true)
+    thresholds, unique_idx = np.unique(y_score, return_index=True)
+    nb_pr = len(unique_idx) + 1
+    nb_true = cum_true[-1]
+    precision = np.zeros(nb_pr)
+    recall = np.zeros(nb_pr)
+    for res_i, score_i in enumerate(unique_idx):
+        below = cum_true[score_i - 1] if score_i > 0 else 0
+        tp = nb_true - below
+        fp = (n - score_i) - tp
+        fn = below + hard_fns
+        precision[res_i] = tp / (tp + fp) if tp + fp > 0 else 0.0
+        recall[res_i] = tp / (tp + fn) if tp + fn > 0 else 0.0
+    precision[-1] = 1.0                               # artificial first point
+    recall[-1] = 0.0
+    recall_conv = np.concatenate([[recall[0]], recall, [0.0]])
+    step_widths = np.convolve(recall_conv, [-0.5, 0, 0.5], "valid")
+    return float(np.dot(precision, step_widths))
 
 
 def compute_instance_ap(predictions: Sequence[InstancePrediction],
                         ground_truth: Sequence[InstanceGT],
                         image_sizes: Dict[str, Tuple[int, int]],
                         num_classes: int,
-                        overlaps: Sequence[float] = OVERLAPS) -> Dict[str, object]:
-    """Greedy score-ordered matching AP.
+                        overlaps: Sequence[float] = OVERLAPS,
+                        min_region_size: int = MIN_REGION_SIZE,
+                        void_regions: Optional[Dict[str, List[np.ndarray]]] = None,
+                        ) -> Dict[str, object]:
+    """Official-protocol instance AP.
 
-    Returns {"AP": float, "AP50": float, "classes": {cls: {"AP": .., "AP50": ..}}}.
-    Classes with no GT instances are excluded from the mean (official rule).
+    void_regions: optional {image_id: [polygon (x, y), ...]} of
+    ignore-in-eval regions (the official void image); overlap with them
+    discounts false positives.
+
+    Returns {"AP": float, "AP50": float, "classes": {cls: {"AP", "AP50"}}}.
     """
-    # group by (image, class)
     preds_by: Dict[Tuple[str, int], List[InstancePrediction]] = {}
     gts_by: Dict[Tuple[str, int], List[InstanceGT]] = {}
     for p in predictions:
@@ -79,62 +136,90 @@ def compute_instance_ap(predictions: Sequence[InstancePrediction],
     for g in ground_truth:
         gts_by.setdefault((g.image_id, g.cls_id), []).append(g)
 
-    # IoU matrices per (image, class) — computed once, reused per threshold
-    iou_cache: Dict[Tuple[str, int], np.ndarray] = {}
+    void_masks: Dict[str, Optional[np.ndarray]] = {}
+
+    def void_mask_for(img: str) -> Optional[np.ndarray]:
+        if img not in void_masks:
+            polys = (void_regions or {}).get(img)
+            if polys:
+                m = np.zeros(image_sizes[img], bool)
+                for poly in polys:
+                    m |= _poly_mask(poly, image_sizes[img]).astype(bool)
+                void_masks[img] = m
+            else:
+                void_masks[img] = None
+        return void_masks[img]
+
+    data: Dict[Tuple[str, int], _ImageClassData] = {}
     for key in set(preds_by) | set(gts_by):
-        ps = preds_by.get(key, [])
-        gs = gts_by.get(key, [])
-        if ps and gs:
-            iou_cache[key] = _mask_iou_matrix(
-                [p.polygon for p in ps], [g.polygon for g in gs],
-                image_sizes[key[0]])
+        data[key] = _ImageClassData(preds_by.get(key, []), gts_by.get(key, []),
+                                    image_sizes[key[0]], void_mask_for(key[0]))
 
     per_class: Dict[int, Dict[str, float]] = {}
     ap_means, ap50s = [], []
     for c in range(num_classes):
-        n_gt = sum(len(v) for k, v in gts_by.items() if k[1] == c)
-        if n_gt == 0:
+        have_gt = any(k[1] == c and v for k, v in gts_by.items())
+        if not have_gt:
             continue
         aps = []
-        ap50 = None
+        ap50 = 0.0
         for th in overlaps:
-            # global score-sorted TP/FP for this class and threshold
-            scored: List[Tuple[float, bool]] = []
-            for key, ps in preds_by.items():
+            y_true_all: List[np.ndarray] = []
+            y_score_all: List[np.ndarray] = []
+            hard_fns = 0
+            for key, d in data.items():
                 if key[1] != c:
                     continue
-                order = np.argsort([-p.score for p in ps], kind="stable")
-                iou = iou_cache.get(key)
-                matched = np.zeros(iou.shape[1], bool) if iou is not None else None
-                for pi in order:
-                    tp = False
-                    if iou is not None:
-                        cand = np.where(~matched & (iou[pi] > th))[0]
-                        if cand.size:
-                            best = cand[np.argmax(iou[pi][cand])]
-                            matched[best] = True
-                            tp = True
-                    scored.append((ps[pi].score, tp))
-            if not scored:
-                aps.append(0.0)
-                if abs(th - 0.5) < 1e-9:
-                    ap50 = 0.0
-                continue
-            scored.sort(key=lambda t: -t[0])
-            tps = np.cumsum([t[1] for t in scored]).astype(np.float64)
-            fps = np.cumsum([not t[1] for t in scored]).astype(np.float64)
-            recall = tps / n_gt
-            precision = tps / np.maximum(tps + fps, 1e-12)
-            # precision-envelope integration
-            r = np.concatenate([[0.0], recall, [1.0]])
-            p = np.concatenate([[0.0], precision, [0.0]])
-            p = np.maximum.accumulate(p[::-1])[::-1]
-            idx = np.nonzero(r[1:] != r[:-1])[0]
-            ap = float(np.sum((r[idx + 1] - r[idx]) * p[idx + 1]))
+                # eligible gts: real instances of sufficient size
+                eligible = [gi for gi, g in enumerate(d.gts)
+                            if not g.is_group and d.gt_px[gi] >= min_region_size]
+                cur_true: List[int] = []
+                cur_score: List[float] = []
+                pred_matched = np.zeros(len(d.preds), bool)
+                for gi in eligible:
+                    gt_score = -np.inf
+                    gt_matched = False
+                    for pi in range(len(d.preds)):
+                        if d.inter[pi, gi] <= 0 or d.iou(pi, gi) <= th:
+                            continue
+                        pred_matched[pi] = True
+                        conf = d.preds[pi].score
+                        if gt_matched:
+                            # official multi-match: higher score stays the
+                            # TP, lower becomes an FP entry
+                            lo, hi = min(gt_score, conf), max(gt_score, conf)
+                            gt_score = hi
+                            cur_true.append(0)
+                            cur_score.append(lo)
+                        else:
+                            gt_matched = True
+                            gt_score = conf
+                    if gt_matched:
+                        cur_true.append(1)
+                        cur_score.append(gt_score)
+                    else:
+                        hard_fns += 1
+                # unmatched predictions -> FP unless mostly ignore overlap
+                for pi in range(len(d.preds)):
+                    if pred_matched[pi] or d.pred_px[pi] == 0:
+                        continue
+                    ignore_px = int(d.void_inter[pi])
+                    for gi, g in enumerate(d.gts):
+                        if g.is_group or d.gt_px[gi] < min_region_size:
+                            ignore_px += int(d.inter[pi, gi])
+                    if ignore_px / float(d.pred_px[pi]) <= th:
+                        cur_true.append(0)
+                        cur_score.append(d.preds[pi].score)
+                if cur_true:
+                    y_true_all.append(np.asarray(cur_true))
+                    y_score_all.append(np.asarray(cur_score, np.float64))
+            y_true = np.concatenate(y_true_all) if y_true_all else np.zeros(0)
+            y_score = np.concatenate(y_score_all) if y_score_all else np.zeros(0)
+            ap = _official_ap(y_true, y_score, hard_fns, have_gt=True)
             aps.append(ap)
             if abs(th - 0.5) < 1e-9:
                 ap50 = ap
-        per_class[c] = {"AP": float(np.mean(aps)), "AP50": float(ap50 or 0.0)}
+        per_class[c] = {"AP": float(np.mean(aps)), "AP50": float(ap50)}
         ap_means.append(per_class[c]["AP"])
         ap50s.append(per_class[c]["AP50"])
 

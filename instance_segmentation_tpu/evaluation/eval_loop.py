@@ -23,7 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from instance_segmentation_tpu import data as data_mod
-from instance_segmentation_tpu.data.cityscapes import parse_label_json
+from instance_segmentation_tpu.data.cityscapes import (
+    parse_eval_label_json, parse_label_json,
+)
 from instance_segmentation_tpu.evaluation.cityscapes_ap import (
     InstanceGT, InstancePrediction, compute_instance_ap,
 )
@@ -130,6 +132,7 @@ def evaluate_from_json(data_cfg, epoch: int, output_dir: str, dataset: str,
     predictions: List[InstancePrediction] = []
     ground_truth: List[InstanceGT] = []
     image_sizes: Dict[str, Tuple[int, int]] = {}
+    void_regions: Dict[str, List[np.ndarray]] = {}
 
     for dets, info in zip(dets_list, info_list):
         img_path, img_size = info[0], tuple(info[1])
@@ -142,14 +145,17 @@ def evaluate_from_json(data_cfg, epoch: int, output_dir: str, dataset: str,
         gt_path = _gt_path_for_image(img_path)
         if gt_path is not None:
             with open(gt_path) as f:
-                cls_ids, polys = parse_label_json(json.load(f))
-            for c, p in zip(cls_ids, polys):
+                cls_ids, polys, grp, voids = parse_eval_label_json(json.load(f))
+            for c, p, g in zip(cls_ids, polys, grp):
                 ground_truth.append(InstanceGT(
                     image_id=img_path, cls_id=int(c),
-                    polygon=np.asarray(p, np.float32)))
+                    polygon=np.asarray(p, np.float32), is_group=bool(g)))
+            if voids:
+                void_regions.setdefault(img_path, []).extend(
+                    np.asarray(v, np.float32) for v in voids)
 
     results = compute_instance_ap(predictions, ground_truth, image_sizes,
-                                  num_classes)
+                                  num_classes, void_regions=void_regions)
     logger.write(f"[{epoch}] AP={results['AP']:.4f} AP50={results['AP50']:.4f}")
     for c, vals in results["classes"].items():
         logger.write(f"  class {c}: AP={vals['AP']:.4f} AP50={vals['AP50']:.4f}")

@@ -65,9 +65,20 @@ class Trainer:
         self.state = create_train_state(
             self.model, jax.random.PRNGKey(cfg.seed), (1, h, w, 3), self.tx)
         self.ckpt = CheckpointManager(self.data_cfg.save_dir)
-        self.state, self.start_epoch, self.best_ap = self.ckpt.restore_latest(self.state)
-        if self.start_epoch > 0:
-            self.logger.write(f"resumed from epoch {self.start_epoch - 1}, best_ap={self.best_ap}")
+        pretrained = cfg.get("pretrained_path")
+        if pretrained:
+            # warm start (ref train.py:119-132: pretrained_path set => load it
+            # non-strict and do NOT resume from save_dir)
+            from instance_segmentation_tpu.utils.checkpoint import load_pretrained
+            self.state, n_match, n_total = load_pretrained(pretrained, self.state)
+            self.start_epoch, self.best_ap = 0, 0.0
+            self.logger.write(
+                f"pretrained warm start from {pretrained}: "
+                f"{n_match}/{n_total} checkpoint arrays matched")
+        else:
+            self.state, self.start_epoch, self.best_ap = self.ckpt.restore_latest(self.state)
+            if self.start_epoch > 0:
+                self.logger.write(f"resumed from epoch {self.start_epoch - 1}, best_ap={self.best_ap}")
 
         ae_window = tuple(tpu_cfg.ae_window) if tpu_cfg and tpu_cfg.get("ae_window") else None
         # tpu.device_aug: hflip+brightness run inside the compiled step
@@ -87,8 +98,11 @@ class Trainer:
             phase="train", transforms=train_tf,
             max_instances=self.static.max_instances, max_verts=self.static.max_vertices,
             seed=self.cfg.seed)
+        # in-training eval reads the val split from eval_dir when configured
+        # (ref train.py:264-268 / evaluate.py:80 both honour the eval root)
+        eval_dir = self.data_cfg.get("eval_dir") or self.data_cfg.train_dir
         eval_loader = data_mod.get_dataloader(
-            self.data_cfg.batch_size, self.data_cfg.dataset, self.data_cfg.train_dir,
+            self.data_cfg.batch_size, self.data_cfg.dataset, eval_dir,
             phase="val", transforms=eval_tf,
             max_instances=self.static.max_instances, max_verts=self.static.max_vertices,
             seed=self.cfg.seed)

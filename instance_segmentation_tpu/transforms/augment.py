@@ -272,6 +272,18 @@ class RandomResize:
         self.method = method
         self.max_side_bound = max_side_bound
         self.scale_list = scale_list
+        # target_size branch (ref cv2_aug_transforms.py:262-280): the random
+        # scale ratios apply to this fixed (w, h) base instead of the image
+        # size. (The reference stores input_size but its __call__ never reads
+        # it — a dead branch inherited from torchcv; here the key is live.)
+        if target_size is None:
+            self.input_size = None
+        elif isinstance(target_size, int):
+            self.input_size = (target_size, target_size)
+        elif isinstance(target_size, (list, tuple)) and len(target_size) == 2:
+            self.input_size = tuple(target_size)
+        else:
+            raise TypeError(f"inappropriate target_size: {target_size!r}")
 
     def _scale(self, rng, img_size_wh):
         if self.method == "bound":
@@ -293,7 +305,8 @@ class RandomResize:
                 ws, hs = ws * d, hs * d
         else:
             ws = hs = 1.0
-        nw, nh = int(w * ws), int(h * hs)
+        bw, bh = (w, h) if self.input_size is None else self.input_size
+        nw, nh = int(bw * ws), int(bh * hs)
         mat = _scale_affine((h, w), (nw, nh))
         img = cv2.warpAffine(img, mat, (nw, nh))
         label = transform_label(label, mat, (nw, nh))
@@ -368,7 +381,7 @@ _OP_BUILDERS = {
         ratio=c.get("ratio", 0.5), scale_range=c.get("scale_range", (0.75, 1.25)),
         aspect_range=c.get("aspect_range", (0.9, 1.1)), method=c.get("method", "random"),
         resize_bound=c.get("resize_bound"), max_side_bound=c.get("max_side_bound"),
-        scale_list=c.get("scale_list")),
+        scale_list=c.get("scale_list"), target_size=c.get("target_size")),
     "random_rotate": lambda c: RandomRotate(ratio=c.get("ratio", 0.5),
                                             max_degree=c.get("rotate_degree", 10),
                                             mean=c.get("mean", (104, 117, 123))),
@@ -379,17 +392,40 @@ _OP_BUILDERS = {
 }
 
 
+def _build_op(trans_cfg, section: str, name: str):
+    params = trans_cfg.get(section, name, default={}) or {}
+    if name not in _OP_BUILDERS:
+        raise KeyError(f"unknown transform op: {name}")
+    return _OP_BUILDERS[name](dict(params))
+
+
 def build_augmentations(trans_cfg, split: str) -> List:
     """Build the op sequence from the JSON config (ref CV2AugCompose :483-819)."""
     section = "train_trans" if split == "train" else "val_trans"
     seq = trans_cfg.get(section, "trans_seq", default=[]) or []
-    ops = []
-    for name in seq:
-        params = trans_cfg.get(section, name, default={}) or {}
-        if name not in _OP_BUILDERS:
-            raise KeyError(f"unknown transform op: {name}")
-        ops.append(_OP_BUILDERS[name](dict(params)))
-    return ops
+    return [_build_op(trans_cfg, section, name) for name in seq]
+
+
+def build_shuffle_augmentations(trans_cfg, split: str):
+    """Ops for the `shuffle_trans_seq` key (ref CV2AugCompose :800-813):
+    names applied in per-sample shuffled order BEFORE trans_seq. The config
+    value is either a list of op names (order shuffled each call) or a list
+    of name-lists (one list picked at random each call).
+
+    Returns (ops_by_name, groups, nested): nested=True -> pick one group at
+    random and apply it in its listed order; nested=False -> groups has one
+    entry whose order is shuffled per call.
+    """
+    if split != "train":
+        return {}, [], False
+    raw = trans_cfg.get("train_trans", "shuffle_trans_seq", default=None)
+    if not raw:
+        return {}, [], False
+    nested = isinstance(raw[0], (list, tuple))
+    groups = [list(g) for g in raw] if nested else [list(raw)]
+    names = {n for g in groups for n in g}
+    ops = {n: _build_op(trans_cfg, "train_trans", n) for n in names}
+    return ops, groups, nested
 
 
 class CommonTransforms:
@@ -406,13 +442,27 @@ class CommonTransforms:
         self.configer = trans_cfg
         self.split = split
         self.ops = build_augmentations(trans_cfg, split)
+        self._shuffle_ops, self._shuffle_groups, self._shuffle_nested = \
+            build_shuffle_augmentations(trans_cfg, split)
         self._rng = np.random.default_rng(seed)
+
+    def _shuffled_prefix(self, rng) -> List:
+        """Per-sample shuffled ops applied before trans_seq
+        (ref CV2AugCompose :800-813)."""
+        if not self._shuffle_groups:
+            return []
+        if self._shuffle_nested:
+            names = self._shuffle_groups[int(rng.integers(0, len(self._shuffle_groups)))]
+        else:
+            names = list(self._shuffle_groups[0])
+            rng.shuffle(names)
+        return [self._shuffle_ops[n] for n in names]
 
     def __call__(self, img: np.ndarray, label: Optional[Label] = None,
                  img_path: Optional[str] = None, rng: Optional[np.random.Generator] = None):
         rng = rng or self._rng
         img_size = img.shape[:2]
-        for op in self.ops:
+        for op in self._shuffled_prefix(rng) + self.ops:
             img, label = op(rng, img, label)
         if label is not None:
             cls_ids, polys = label

@@ -84,6 +84,50 @@ class CheckpointManager:
         return state, epoch + 1, best_ap
 
 
+def load_pretrained(path: str, state: Any) -> Tuple[Any, int, int]:
+    """Non-strict warm start from a converted `{params, batch_stats}` orbax
+    checkpoint (tools/convert_torch_weights.py output).
+
+    Mirrors the reference's `load_state_dict(..., strict=False)` pretrained
+    branch (ref train.py:119-132, models/efficientnet/utils.py:299-313):
+    every leaf whose path AND shape match the fresh state is taken from the
+    checkpoint (backbone-only subsets work); everything else keeps its fresh
+    initialization. Returns (state, n_matched, n_total_ckpt_leaves).
+    """
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    loaded = ckptr.restore(os.path.abspath(path))
+    fresh = {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)}
+
+    counts = {"matched": 0, "total": 0}
+
+    def merge(dst, src):
+        if not isinstance(src, dict):
+            counts["total"] += 1
+            if dst is not None and not isinstance(dst, dict) \
+                    and tuple(np.shape(dst)) == tuple(np.shape(src)):
+                counts["matched"] += 1
+                return np.asarray(src).astype(np.asarray(dst).dtype)
+            return dst
+        if not isinstance(dst, dict):
+            # structure mismatch: count the subtree as unmatched
+            counts["total"] += sum(1 for _ in jax.tree.leaves(src))
+            return dst
+        out = dict(dst)
+        for k, v in src.items():
+            if k in dst:
+                out[k] = merge(dst[k], v)
+            else:
+                counts["total"] += sum(1 for _ in jax.tree.leaves(v))
+        return out
+
+    merged = {k: merge(fresh.get(k, {}), loaded.get(k, {}))
+              for k in ("params", "batch_stats")}
+    state = state.replace(params=merged["params"],
+                          batch_stats=merged["batch_stats"])
+    return state, counts["matched"], counts["total"]
+
+
 def _savable(state: Any):
     """Strip non-pytree fields (the optax transformation) from TrainState."""
     return {"step": state.step, "params": state.params,

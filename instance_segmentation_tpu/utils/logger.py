@@ -2,8 +2,9 @@
 
 Same capability surface as the reference logger (reference: utils/logger.py
 :21-110 — timestamped console/file lines, run-config dump, TensorBoard scalar
-summaries, singleton init/get), re-designed with a JSONL metrics sink as the
-primary machine-readable channel (TensorBoard writers are optional and gated).
+summaries, singleton init/get). Scalars go to BOTH a metrics JSONL (the
+primary machine-readable channel) and a real TensorBoard event file
+(utils/tb_writer.py — dependency-free writer, loads in stock TensorBoard).
 """
 
 from __future__ import annotations
@@ -25,11 +26,14 @@ class Logger:
         self.save_dir = save_dir
         self._file = None
         self._metrics = None
+        self._tb = None
         if save_dir is not None:
             log_dir = os.path.join(save_dir, "logs")
             os.makedirs(log_dir, exist_ok=True)
             self._file = open(os.path.join(log_dir, "log.txt"), "a")
             self._metrics = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            from instance_segmentation_tpu.utils.tb_writer import SummaryWriter
+            self._tb = SummaryWriter(log_dir)
             if run_config is not None:
                 with open(os.path.join(log_dir, "opt.txt"), "w") as f:
                     if hasattr(run_config, "to_dict"):
@@ -65,9 +69,12 @@ class Logger:
         if self._metrics is not None:
             self._metrics.write(json.dumps({"tag": tag, "value": float(value), "step": int(step), "ts": time.time()}) + "\n")
             self._metrics.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+            self._tb.flush()
 
     def close(self) -> None:
-        for f in (self._file, self._metrics):
+        for f in (self._file, self._metrics, self._tb):
             if f is not None:
                 f.close()
-        self._file = self._metrics = None
+        self._file = self._metrics = self._tb = None

@@ -79,3 +79,81 @@ def test_rotate_and_crop_keep_labels_consistent():
         assert lab[1][0].shape[1] == 2
     out2, lab2 = RandomCrop(ratio=1.1, crop_size=(48, 32))(rng, img, (ids, polys))
     assert out2.shape[0] <= 32 + 1 and out2.shape[1] <= 48 + 1
+
+
+def test_shuffle_trans_seq_applies_ops_in_shuffled_order():
+    """shuffle_trans_seq ops run before trans_seq in per-sample random order
+    (ref cv2_aug_transforms.py:800-813)."""
+    cfg = Configer({
+        "train_trans": {
+            "trans_seq": ["resize"],
+            "resize": {"target_size": 2},
+            "shuffle_trans_seq": ["random_brightness", "random_contrast"],
+            "random_brightness": {"ratio": 1.0, "shift_value": 10},
+            "random_contrast": {"ratio": 1.0, "lower": 0.8, "upper": 1.2},
+        },
+        "val_trans": {"trans_seq": ["resize"], "resize": {"target_size": 2}},
+        "normalize": {"div_value": 255.0, "mean": [0.485, 0.456, 0.406],
+                      "std": [0.229, 0.224, 0.225]},
+    })
+    tf = CommonTransforms(cfg, "train", seed=0)
+    img, label = _img_label()
+    out, _, _ = tf(img, label, "x.png")
+    assert out.shape == (32, 64, 3)          # trans_seq still ran last
+    # photometric ops actually fired (ratio 1.0): output differs from a
+    # resize-only pipeline
+    base_cfg = Configer({
+        "train_trans": {"trans_seq": ["resize"], "resize": {"target_size": 2}},
+        "val_trans": {"trans_seq": ["resize"], "resize": {"target_size": 2}},
+        "normalize": {"div_value": 255.0, "mean": [0.485, 0.456, 0.406],
+                      "std": [0.229, 0.224, 0.225]},
+    })
+    base, _, _ = CommonTransforms(base_cfg, "train", seed=0)(img, label, "x.png")
+    assert np.abs(out.astype(int) - base.astype(int)).max() > 0
+    # both orders occur across samples (shuffling is per call)
+    tf2 = CommonTransforms(cfg, "train", seed=1)
+    orders = set()
+    for _ in range(16):
+        prefix = tf2._shuffled_prefix(tf2._rng)
+        orders.add(tuple(type(op).__name__ for op in prefix))
+    assert len(orders) == 2
+
+
+def test_shuffle_trans_seq_nested_picks_one_group():
+    cfg = Configer({
+        "train_trans": {
+            "trans_seq": [],
+            "shuffle_trans_seq": [["random_brightness"], ["random_contrast"]],
+            "random_brightness": {"ratio": 1.0, "shift_value": 10},
+            "random_contrast": {"ratio": 1.0, "lower": 0.8, "upper": 1.2},
+        },
+        "val_trans": {"trans_seq": []},
+        "normalize": {"div_value": 255.0, "mean": [0.485, 0.456, 0.406],
+                      "std": [0.229, 0.224, 0.225]},
+    })
+    tf = CommonTransforms(cfg, "train", seed=2)
+    seen = set()
+    for _ in range(16):
+        prefix = tf._shuffled_prefix(tf._rng)
+        assert len(prefix) == 1
+        seen.add(type(prefix[0]).__name__)
+    assert seen == {"RandomBrightness", "RandomContrast"}
+
+
+def test_random_resize_target_size_drives_output_size():
+    """target_size makes the scale ratios apply to the fixed base size
+    (ref cv2_aug_transforms.py:262-280)."""
+    from instance_segmentation_tpu.transforms.augment import RandomResize
+    rng = np.random.default_rng(0)
+    img, label = _img_label(h=64, w=128)
+    op = RandomResize(ratio=0.0, target_size=(100, 50))   # gate off -> scale 1
+    out, _ = op(rng, img, label)
+    assert out.shape[:2] == (50, 100)
+    op2 = RandomResize(ratio=1.0, target_size=(100, 50),
+                       scale_range=(2.0, 2.0), aspect_range=(1.0, 1.0))
+    out2, _ = op2(rng, img, label)
+    assert out2.shape[:2] == (100, 200)
+    # int target_size means a square base
+    op3 = RandomResize(ratio=0.0, target_size=64)
+    out3, _ = op3(rng, img, label)
+    assert out3.shape[:2] == (64, 64)
