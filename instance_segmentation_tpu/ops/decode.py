@@ -130,27 +130,39 @@ def leader_nms(boxes: jnp.ndarray, valid: jnp.ndarray, iou_th: float,
                max_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS returning the first `max_out` kept indices directly.
 
-    Identical result to `greedy_nms` truncated to max_out, but runs max_out
-    sequential steps instead of K: each step picks the highest-ranked
-    still-alive box (the next greedy keeper, since boxes are score-sorted)
-    and suppresses everything it overlaps.
+    Identical result to `greedy_nms` truncated to max_out, computed as a
+    FIXPOINT iteration instead of a sequential scan: iterate
+        keep_i <- valid_i & not exists j < i: keep_j & iou_ij > th
+    until unchanged. The greedy recurrence has a unique fixpoint (induction
+    over rank), and each sweep pins at least one more rank prefix, so the
+    loop terminates in <= K sweeps — in practice the depth of the longest
+    suppression chain (2-6). A max_out-step lax.scan cost 7.9 ms at
+    pre_nms=512 on v5e (~80 us loop overhead per tiny step); a handful of
+    [K,K] sweeps is ~0.3 ms.
 
     Returns (indices [max_out] into boxes, keep_valid [max_out]).
     """
     K = boxes.shape[0]
     iou = _iou_xyxy(boxes)
     rank = jnp.arange(K)
+    # sup[j, i]: keeping j suppresses i (strictly lower rank suppresses)
+    sup = (iou > iou_th) & (rank[:, None] < rank[None, :])
 
-    def body(carry, _):
-        alive = carry
-        any_alive = jnp.any(alive)
-        lead = jnp.argmax(alive)                 # first alive (score-sorted)
-        sup = (iou[lead] > iou_th) | (rank == lead)
-        alive = alive & ~sup
-        return alive, (jnp.where(any_alive, lead, -1), any_alive)
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(it < K, jnp.any(keep != prev))
 
-    _, (idx, ok) = jax.lax.scan(body, valid, None, length=max_out)
-    return idx, ok
+    def body(state):
+        keep, _, it = state
+        new = valid & ~jnp.any(keep[:, None] & sup, axis=0)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(cond, body, (valid, ~valid, 0))
+
+    order = jnp.argsort(jnp.where(keep, rank, K + rank))      # kept first, by rank
+    idx = order[:max_out]
+    ok = keep[idx]
+    return jnp.where(ok, idx, -1), ok
 
 
 def decode_boxes(classification: jnp.ndarray, regression: jnp.ndarray,
@@ -187,14 +199,78 @@ def _monotonic_u32(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(u >> 31 == 1, ~u, u | jnp.uint32(0x80000000))
 
 
+def blocked_cumsum(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """Inclusive cumsum of small nonneg ints along the last axis, on the MXU.
+
+    XLA lowers a long cumsum to a log-depth while loop; worse, a vmapped
+    searchsorted over the result becomes a while loop of scalar-rate gathers
+    (profiled 23.8 ms for [8, 512*1024] on v5e — see the trace notes in
+    CLAUDE.md). The scan-via-matmul trick does the same in two passes:
+    per-block inclusive prefix = block @ lower-triangular ones (MXU), plus a
+    tiny cross-block offset cumsum. Exact for counts (bf16 0/1 inputs,
+    f32 accumulation, block totals <= block < 2^24).
+
+    Returns f32 [B, N].
+    """
+    B, N = x.shape
+    pad = (-N) % block
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    nb = (N + pad) // block
+    xb = x.reshape(B, nb, block).astype(jnp.bfloat16)
+    tri = jnp.tril(jnp.ones((block, block), jnp.bfloat16))       # [t, s] s<=t
+    within = jax.lax.dot_general(
+        xb, tri, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # [B, nb, block]
+    totals = within[..., -1]                                     # [B, nb]
+    off = jnp.cumsum(totals, axis=1) - totals                    # small scan
+    out = (within + off[..., None]).reshape(B, nb * block)
+    return out[:, :N]
+
+
+def _extract_k_indices(mask: jnp.ndarray, k: int,
+                       block: int = 256) -> jnp.ndarray:
+    """Ascending positions of the first k true elements of mask [B, N].
+
+    Two-level compaction without searchsorted/scatter (both lower to
+    scalar-rate loops on TPU): per-block prefix counts via the matmul scan,
+    block location + within-block rank via broadcast compare-sums, and one
+    contiguous row-gather of the chosen blocks' prefix rows.
+    """
+    B, N = mask.shape
+    pad = (-N) % block
+    m = mask.astype(jnp.bfloat16)
+    if pad:
+        m = jnp.pad(m, ((0, 0), (0, pad)))
+    nb = (N + pad) // block
+    mb = m.reshape(B, nb, block)
+    tri = jnp.tril(jnp.ones((block, block), jnp.bfloat16))
+    within = jax.lax.dot_general(
+        mb, tri, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # [B, nb, block]
+    totals = within[..., -1]
+    inc = jnp.cumsum(totals, axis=1)                             # [B, nb]
+    off = inc - totals
+    t = jnp.arange(1, k + 1, dtype=jnp.float32)                  # targets
+    # block of the t-th true = # blocks whose inclusive count < t
+    b_idx = jnp.sum((inc[:, None, :] < t[None, :, None]).astype(jnp.int32),
+                    axis=-1)                                     # [B, k]
+    b_idx = jnp.minimum(b_idx, nb - 1)
+    r = t[None, :] - jnp.take_along_axis(off, b_idx, axis=1)     # rank in block
+    w_rows = jnp.take_along_axis(within, b_idx[..., None], axis=1)  # [B,k,block]
+    s_idx = jnp.sum((w_rows < r[..., None]).astype(jnp.int32), axis=-1)
+    idx = b_idx * block + jnp.minimum(s_idx, block - 1)
+    return jnp.minimum(idx, N - 1).astype(jnp.int32)
+
+
 def exact_topk_indices(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k WITHOUT sorting: [B, N] f32 -> (values [B,k], indices [B,k]).
 
-    lax.top_k at this k lowers to a full stable sort (~4ms for 512x1024 on
-    v5e); instead we binary-search the k-th value in uint32 bit space (32
-    cheap full reduces), build the exact-k mask (value ties broken by index
-    order), and compact indices with a cumsum + searchsorted — all
-    memory-bound vector ops, ~4x faster than the sort.
+    Binary-search the k-th value in uint32 bit space (cheap full reduces),
+    build the exact-k mask (value ties broken by index order), and compact
+    indices with matmul-scan counting (blocked_cumsum/_extract_k_indices —
+    NO cumsum+searchsorted, which lowers to a 23.8 ms scalar-gather while
+    loop on TPU at this size).
 
     Returned indices are in ascending index order (row-major for flattened
     images) — which matches the reference's member ordering
@@ -226,13 +302,10 @@ def exact_topk_indices(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndar
     gt = u > hi[:, None]                                        # count <= k
     band = (u > lo[:, None]) & ~gt                              # count(gt|band) > k
     n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
-    tie_rank = jnp.cumsum(band.astype(jnp.int32), axis=1)
+    tie_rank = blocked_cumsum(band.astype(jnp.float32))
     mask = gt | (band & (tie_rank <= (k - n_gt)))               # exactly k per row
 
-    csum = jnp.cumsum(mask.astype(jnp.int32), axis=1)           # [B, N]
-    targets = jnp.arange(1, k + 1, dtype=jnp.int32)
-    idx = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(csum)
-    idx = jnp.clip(idx, 0, N - 1).astype(jnp.int32)
+    idx = _extract_k_indices(mask, k)
     vals = jnp.take_along_axis(flat, idx, axis=1)
     return vals, idx
 
@@ -361,45 +434,64 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
     wh = jnp.stack([(boxes[..., 2] - boxes[..., 0]) * scale_int,
                     (boxes[..., 3] - boxes[..., 1]) * scale_int], axis=-1)  # [B,D,2]
 
-    # ghost filter evaluated per keypoint against its assigned object
-    # (ref group_kp :351-355) — each kp has exactly one assignment.
-    own_c = jnp.take_along_axis(centers, assign[..., None], axis=1)   # [B,K,2]
-    own_wh = jnp.take_along_axis(wh, assign[..., None], axis=1)
-    own_ok = jnp.take_along_axis(det_valid, assign, axis=1)
-    half = (0.5 + cfg.wh_delta) * own_wh
-    ghost = ((kp_xy[..., 0] > own_c[..., 0] - half[..., 0]) &
-             (kp_xy[..., 0] < own_c[..., 0] + half[..., 0]) &
-             (kp_xy[..., 1] > own_c[..., 1] - half[..., 1]) &
-             (kp_xy[..., 1] < own_c[..., 1] + half[..., 1]))
-    sel = kp_valid & ghost & own_ok                                   # [B,K]
+    # ghost filter (ref group_kp :351-355) without per-key gathers (random
+    # element gathers run at ~8 ns/element on v5e): each kp has exactly one
+    # assignment, so test against ALL objects and select with (d == assign) —
+    # one fused [B,K,D] compare-reduce.
+    half = (0.5 + cfg.wh_delta) * wh                                  # [B,D,2]
+    d_iota = jnp.arange(D, dtype=assign.dtype)
+    cx, cy = centers[..., 0][:, None, :], centers[..., 1][:, None, :]
+    hx, hy = half[..., 0][:, None, :], half[..., 1][:, None, :]
+    in_own = ((assign[..., None] == d_iota) & det_valid[:, None, :] &
+              (kp_xy[..., 0:1] > cx - hx) & (kp_xy[..., 0:1] < cx + hx) &
+              (kp_xy[..., 1:2] > cy - hy) & (kp_xy[..., 1:2] < cy + hy))
+    sel = kp_valid & jnp.any(in_own, axis=-1)                         # [B,K]
 
     # single global sort per image: members of object d form a contiguous run
     # in row-major order (reference member ordering, kp_mask.nonzero() :312).
+    # Multi-operand lax.sort carries the coordinates through the sorting
+    # network — argsort + take_along_axis pays a 786k-element gather.
     SHIFT = 1 << 20                                                   # > in_h*in_w
     rm_key = kp_rc[..., 0].astype(jnp.int32) * in_w + kp_rc[..., 1].astype(jnp.int32)
-    key = jnp.where(sel, assign.astype(jnp.int32) * SHIFT + rm_key,
-                    jnp.int32(D * SHIFT))
-    perm = jnp.argsort(key, axis=-1)                                  # batched sort
-    key_sorted = jnp.take_along_axis(key, perm, axis=-1)
-    kp_sorted = jnp.take_along_axis(kp_xy, perm[..., None], axis=1)   # [B,K,2]
-    boundaries = jnp.arange(D + 1, dtype=jnp.int32) * SHIFT
-    bounds = jax.vmap(lambda ks: jnp.searchsorted(ks, boundaries))(key_sorted)
-    starts, counts = bounds[:, :-1], bounds[:, 1:] - bounds[:, :-1]   # [B,D]
-
-    slice_len = min(Q, K)
-    start_c = jnp.clip(starts, 0, K - slice_len)
-    offset = starts - start_c                                         # [B,D]
-
-    def slice_one(kps, s, off):
-        pts = jax.lax.dynamic_slice_in_dim(kps, s, slice_len, axis=0)
-        return jnp.roll(pts, -off, axis=0)
-
-    pts = jax.vmap(jax.vmap(slice_one, in_axes=(None, 0, 0)), in_axes=(0, 0, 0))(
-        kp_sorted, start_c, offset)                                   # [B,D,Qs,2]
-    if slice_len < Q:
-        pts = jnp.concatenate(
-            [pts, jnp.zeros((B, D, Q - slice_len, 2), pts.dtype)], axis=2)
+    obj = jnp.where(sel, assign.astype(jnp.int32), D)                 # [B,K]
+    key = obj * SHIFT + rm_key                                        # unique keys
+    _, xs, ys = jax.lax.sort((key, kp_xy[..., 0], kp_xy[..., 1]),
+                             dimension=-1, num_keys=1)
+    # per-object starts/counts by direct counting (a vmapped searchsorted
+    # over the sorted keys lowers to a scalar-gather while loop on TPU —
+    # 23.8 ms at this size; one [B,D,K] compare-sum fuses to ~nothing)
+    counts = jnp.sum(
+        (obj[:, None, :] == jnp.arange(D, dtype=jnp.int32)[None, :, None])
+        .astype(jnp.int32), axis=-1)                                  # [B,D]
+    starts = jnp.cumsum(counts, axis=1) - counts                      # [B,D]
     n = jnp.minimum(counts, Q)                                        # [B,D]
+
+    # member extraction out[b,d,q] = sorted[b, starts[b,d]+q]: contiguous-run
+    # windows, NOT random gathers. Fetch each object's aligned 128-block rows
+    # (row gathers are vector-rate), then apply the in-block offset with 7
+    # binary sub-shifts (pure selects). A flat take_along_axis here cost
+    # 12.4 ms; this is ~0.4 ms.
+    BLK = 128
+    Kp = ((K + BLK - 1) // BLK) * BLK
+    xs = jnp.pad(xs, ((0, 0), (0, Kp - K)))
+    ys = jnp.pad(ys, ((0, 0), (0, Kp - K)))
+    nbk = Kp // BLK
+    nwin = Q // BLK + 1                                               # Q+128 cols
+    coarse, fine = starts // BLK, starts % BLK
+    blk_idx = jnp.clip(coarse[..., None] + jnp.arange(nwin), 0, nbk - 1)
+    blk_idx = blk_idx.reshape(B, D * nwin)[..., None]                 # [B,D*nwin,1]
+    win_x = jnp.take_along_axis(xs.reshape(B, nbk, BLK), blk_idx,
+                                axis=1).reshape(B, D, nwin * BLK)
+    win_y = jnp.take_along_axis(ys.reshape(B, nbk, BLK), blk_idx,
+                                axis=1).reshape(B, D, nwin * BLK)
+    for bit in range(7):                                              # BLK = 2^7
+        s = 1 << bit
+        on = ((fine >> bit) & 1).astype(bool)[..., None]              # [B,D,1]
+        win_x = jnp.where(on, jnp.pad(win_x[..., s:], ((0, 0), (0, 0), (0, s))),
+                          win_x)
+        win_y = jnp.where(on, jnp.pad(win_y[..., s:], ((0, 0), (0, 0), (0, s))),
+                          win_y)
+    pts = jnp.stack([win_x[..., :Q], win_y[..., :Q]], axis=-1)        # [B,D,Q,2]
 
     # replicate last valid vertex into padding slots
     q_iota = jnp.arange(Q)
@@ -413,8 +505,10 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
 
     ang = _polar_angle(pts[..., 0] - ip[..., 0:1], pts[..., 1] - ip[..., 1:2])
     ang = jnp.where(q_iota[None, None, :] < n[..., None], ang, jnp.inf)
-    s_order = jnp.argsort(ang, axis=-1)                               # batched [B,D,Q]
-    poly = jnp.take_along_axis(pts, s_order[..., None], axis=2)
+    # stable multi-operand sort == stable argsort + gather, minus the gather
+    _, px, py = jax.lax.sort((ang, pts[..., 0], pts[..., 1]),
+                             dimension=-1, num_keys=1, is_stable=True)
+    poly = jnp.stack([px, py], axis=-1)
     last2 = jnp.take_along_axis(
         poly, jnp.clip(n - 1, 0, Q - 1)[..., None, None].astype(jnp.int32), axis=2)
     poly = jnp.where(q_iota[None, None, :, None] < n[..., None, None], poly, last2)
@@ -513,9 +607,9 @@ def decode_output(outputs, anchors: jnp.ndarray, orig_h: int, orig_w: int,
     kp_rc = jnp.stack([rr, cc], axis=-1)                              # [B,K,2]
 
     ae_flat = jnp.take_along_axis(ae.reshape(B, -1, 4), flat_idx[..., None], axis=1)
-    xym_flat = jnp.take_along_axis(
-        jnp.broadcast_to(xym.reshape(1, -1, 2), (B, H * W, 2)),
-        flat_idx[..., None], axis=1)
+    # the coordinate frame is analytic (losses.coordinate_grid: i/1023,
+    # 2*j/2047) — compute it from (rr, cc) instead of gathering the grid
+    xym_flat = jnp.stack([rr / 1023.0, cc * (2.0 / 2047.0)], axis=-1)
     emb = jnp.tanh(ae_flat[..., 0:2]) + xym_flat                      # [B,K,2]
     sig = jnp.exp(ae_flat[..., 2:4])                                  # [B,K,2]
 
