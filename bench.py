@@ -70,15 +70,21 @@ def main():
 
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
+    def force(r):
+        # device_get of a leaf slice: the single device stream guarantees all
+        # queued work actually finished (block_until_ready has been observed
+        # returning early over the axon tunnel for multi-output executables)
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        jax.device_get(jnp.ravel(leaf)[:1])
+
     # warmup / compile
-    dets = infer(params, batch_stats, images)
-    jax.block_until_ready(dets)
+    force(infer(params, batch_stats, images))
 
     iters = 30
     t = time.time()
     for _ in range(iters):
         dets = infer(params, batch_stats, images)
-    jax.block_until_ready(dets)
+    force(dets)
     dt = (time.time() - t) / (iters * BATCH)
     imgs_per_sec = 1.0 / dt
 

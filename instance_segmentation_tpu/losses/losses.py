@@ -312,35 +312,37 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
         jnp.uint8(1), mode="drop").reshape(B, M, H, W).astype(bool)
     r2 = _shift_min_r2(imp)                                         # [B,M,H,W] u8
 
-    neg_w4 = jnp.full(r2.shape, jnp.float32(1.0))
-    for r2v, t4 in sorted(_NEG4_TABLE.items()):
-        neg_w4 = jnp.where(r2 == r2v, jnp.float32(t4), neg_w4)
-    r2 = None  # free
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, M, H, W), 2)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (B, M, H, W), 3)
-    window = ((rows >= lt[..., 0, None, None]) & (rows < rb[..., 0, None, None]) &
-              (cols >= lt[..., 1, None, None]) & (cols < rb[..., 1, None, None]))
-    window = window & targets.inst_valid[..., None, None]           # [B,M,H,W]
+    valid = targets.inst_valid
 
     def focal_terms(e, s):
-        # fused [B,M,H,W] chain; checkpointed so backward recomputes instead
-        # of saving 800 MB of intermediates
+        # fully fused [B,M,H,W] chain; checkpointed so backward recomputes.
+        # Everything per-pixel is derived on the fly from the u8 distance map
+        # and tiny per-instance vectors — no [B,M,H,W] f32/bool tensor is ever
+        # materialized in HBM (neg_w4 select chain and window compare both
+        # live inside the fusion).
+        neg_w4 = jnp.float32(1.0)
+        for r2v, t4 in sorted(_NEG4_TABLE.items()):
+            neg_w4 = jnp.where(r2 == r2v, jnp.float32(t4), neg_w4)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, M, H, W), 2)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, M, H, W), 3)
+        window = ((rows >= lt[..., 0, None, None]) & (rows < rb[..., 0, None, None]) &
+                  (cols >= lt[..., 1, None, None]) & (cols < rb[..., 1, None, None]) &
+                  valid[..., None, None])
         dy = e[:, None, ..., 0] - c_emb[..., 0][..., None, None]
         dx = e[:, None, ..., 1] - c_emb[..., 1][..., None, None]
         pred = jnp.exp(-(dy * dy * s[:, None, ..., 0] +
                          dx * dx * s[:, None, ..., 1]))             # [B,M,H,W]
         pred = jnp.clip(pred, _EPS, 1.0 - _EPS)
         wf = window.astype(jnp.float32)
-        posm = imp & window
+        posm = (r2 == 0) & window          # r2==0 <=> point pixel (imp)
         neg = jnp.sum(jnp.log(1.0 - pred) * pred ** 2 * neg_w4 * wf,
                       axis=(2, 3))
         pos = jnp.sum(jnp.where(posm, jnp.log(pred) * (1.0 - pred) ** 2, 0.0),
                       axis=(2, 3))
-        return pos, neg
+        npos = jnp.sum(posm, axis=(2, 3)).astype(jnp.float32)
+        return pos, neg, npos
 
-    pos, neg = jax.checkpoint(focal_terms)(e, s)
-    npos = jnp.sum(imp & window, axis=(2, 3)).astype(jnp.float32)   # [B,M]
+    pos, neg, npos = jax.checkpoint(focal_terms)(e, s)
     return jnp.where(npos == 0, -neg, -(pos + neg) / jnp.clip(npos, 1.0, None))
 
 
@@ -483,19 +485,35 @@ def _ae_loss_windowed(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
 
 def tangent_loss(tan: jnp.ndarray, targets: Targets,
                  cfg: LossConfig = LossConfig()) -> jnp.ndarray:
-    """tan [B,H,W,2]; 1 - cos(pred, inward normal) at boundary samples."""
+    """tan [B,H,W,2]; 1 - cos(pred, inward normal) at boundary samples.
 
-    def per_image(tan_i, points, pt_valid, normals):
-        pts = points.reshape(-1, 2)                                       # [M*P, 2]
-        val = pt_valid.reshape(-1).astype(jnp.float32)
-        nrm = normals.reshape(-1, 2)
-        t = tan_i[pts[:, 0], pts[:, 1]]                                   # [M*P, 2]
-        t = t / jnp.clip(jnp.sqrt(jnp.sum(t * t, axis=-1, keepdims=True)), _EPS, None)
-        cos = jnp.sum(nrm * t, axis=-1)
-        n_val = jnp.sum(val)
-        return jnp.where(n_val > 0, jnp.sum((1.0 - cos) * val) / jnp.clip(n_val, 1.0, None), 0.0)
+    Dense formulation, exactly equal to the reference's per-sample mean
+    (ref TangentLoss loss.py:320-351): cos is linear in the GT normal, so
+        Σ_s (1 - cos_s) = n_valid - Σ_pix <t̂[pix], Σ_{s at pix} nrm_s>.
+    The summed-normal map is scattered once from constants (no gradient flows
+    through the scatter), and the differentiable part is a fused elementwise
+    pass over the dense field — the per-sample gather (and its serializing
+    scatter-add backward) disappears.
+    """
+    B, H, W, _ = tan.shape
+    pts = targets.points.reshape(B, -1, 2)                                # [B,S,2]
+    val = targets.pt_valid.reshape(B, -1)
+    nrm = targets.normals.reshape(B, -1, 2) * val[..., None]
 
-    per = jax.vmap(per_image)(tan, targets.points, targets.pt_valid, targets.normals)
+    safe = jnp.clip(pts, 0, jnp.array([H - 1, W - 1]))
+    flat = (safe[..., 0] * W + safe[..., 1]
+            + (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None])        # [B,S]
+    flat = jnp.where(val, flat, B * H * W)
+    nmap = (jnp.zeros((B * H * W, 2), jnp.float32)
+            .at[flat.reshape(-1)].add(nrm.reshape(-1, 2), mode="drop")
+            .reshape(B, H, W, 2))
+    nmap = jax.lax.stop_gradient(nmap)
+
+    t = tan / jnp.clip(jnp.sqrt(jnp.sum(tan * tan, axis=-1, keepdims=True)),
+                       _EPS, None)
+    dot = jnp.sum(t * nmap, axis=(1, 2, 3))                               # [B]
+    n_val = jnp.sum(val, axis=1).astype(jnp.float32)
+    per = jnp.where(n_val > 0, (n_val - dot) / jnp.clip(n_val, 1.0, None), 0.0)
     return cfg.tan_weight * jnp.mean(per)
 
 

@@ -25,6 +25,7 @@ vs :472-480).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -39,15 +40,97 @@ BN_MOMENTUM_UNET = 0.9
 BN_EPS_UNET = 1e-5
 
 
+@jax.custom_vjp
 def swish(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.nn.silu(x)
+    return x * jax.nn.sigmoid(x)
 
 
-class BatchNorm(nn.Module):
-    """float32 batch norm with optional cross-replica axis.
+def _swish_fwd(x):
+    return x * jax.nn.sigmoid(x), x
 
-    Stats are computed (and stored) in float32; the output is cast back to the
-    input dtype so bf16 activations flow through unchanged.
+
+def _swish_bwd(x, g):
+    # one fused elementwise pass: recompute sigmoid instead of saving it
+    # (the default silu VJP chains several saved-tensor reads; on TPU the
+    # backward is HBM-bound, so a single residual + single pass wins)
+    s = jax.nn.sigmoid(x)
+    return (g * (s * (1.0 + x * (1.0 - s))).astype(g.dtype),)
+
+
+swish.defvjp(_swish_fwd, _swish_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train(x, scale, bias, eps):
+    """Train-mode BN core: y from batch stats, plus (mean, var) for the
+    running-average update. Hand-written VJP: the autodiff backward lowers to
+    ~6 HBM passes over the activation (plus layout copies); this one is two —
+    a fused (Σg, Σg·x) reduce pass and a single elementwise dx pass."""
+    y, mean, var, _ = _bn_train_math(x, scale, bias, eps)
+    return y, mean, var
+
+
+def _bn_train_math(x, scale, bias, eps):
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
+    mean2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=axes)
+    var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
+    r = jax.lax.rsqrt(var + eps)
+    scale_eff = scale * r
+    shift = bias - mean * scale_eff
+    y = x * scale_eff.astype(x.dtype) + shift.astype(x.dtype)
+    return y, mean, var, r
+
+
+def _bn_train_fwd(x, scale, bias, eps):
+    y, mean, var, r = _bn_train_math(x, scale, bias, eps)
+    return (y, mean, var), (x, scale, mean, r)
+
+
+def _bn_train_bwd(eps, res, cts):
+    x, scale, mean, r = res
+    gy, gmean, gvar = cts
+    axes = tuple(range(x.ndim - 1))
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    inv_n = 1.0 / n
+
+    # pass 1: fused pair of f32-accumulating reductions over (gy, gy*x)
+    sg = jnp.sum(gy, axis=axes, dtype=jnp.float32)
+    sgx = jnp.sum((gy * x).astype(jnp.float32), axis=axes)
+
+    sgc = sgx - mean * sg                       # Σ gy·(x-μ)
+    dscale = r * sgc
+    dbias = sg
+    # dx = A·gy + C·x + D   (per-channel f32 coefficients, bf16 pass)
+    a = scale * r
+    c = -a * (r * r) * sgc * inv_n + 2.0 * inv_n * gvar
+    d = -a * sg * inv_n + gmean * inv_n - c * mean
+    dx = (gy * a.astype(gy.dtype) + x * c.astype(x.dtype) + d.astype(x.dtype))
+    return dx, dscale, dbias
+
+
+_bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+class _FastBN(nn.Module):
+    """Batch norm with f32 stats but compute-dtype application.
+
+    Mirrors flax ``nn.BatchNorm``'s variable layout exactly (params
+    ``scale``/``bias``; batch_stats ``mean``/``var``, all f32) so checkpoints
+    and the torch converter are unaffected — but the big-tensor math differs:
+
+      * batch stats are reduced in ONE pass with f32 accumulation straight
+        from the (bf16) input — no materialized f32 copy of the activation;
+      * normalization is applied as a per-channel ``x * scale_eff + shift``
+        in the INPUT dtype, so XLA fuses it (and the following swish/relu)
+        into the producing conv's epilogue instead of a cast-f32 /
+        normalize / cast-back round trip over HBM.
+
+    Under a sharded batch axis (GSPMD jit) the f32 reductions are global, so
+    this stays a synchronized BN; ``axis_name`` adds an explicit pmean for
+    shard_map-style SPMD (ref utils/sync_batchnorm semantics).
     """
 
     momentum: float = BN_MOMENTUM_DET
@@ -56,16 +139,62 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        in_dtype = x.dtype
-        y = nn.BatchNorm(
-            use_running_average=not train,
+        ch = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (ch,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros_init(), None, (ch,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones_init(), None, (ch,), jnp.float32)
+
+        if train and self.axis_name is None:
+            # fused custom-VJP fast path (GSPMD: sharded-batch reductions are
+            # global automatically, so this stays a synchronized BN)
+            y, mean, var = _bn_train(x, scale, bias, float(self.epsilon))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+            return y
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
+            mean2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=axes)
+            mean, mean2 = jax.lax.pmean((mean, mean2), self.axis_name)
+            var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        scale_eff = scale * jax.lax.rsqrt(var + self.epsilon)
+        shift = bias - mean * scale_eff
+        return x * scale_eff.astype(x.dtype) + shift.astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """float32-stat batch norm with optional cross-replica axis.
+
+    Stats are computed (accumulated) and stored in float32; normalization is
+    applied in the activation dtype so bf16 tensors never round-trip through
+    f32 HBM copies (see _FastBN). The submodule is pinned to the name
+    ``BatchNorm_0`` for param-tree compatibility with flax ``nn.BatchNorm``.
+    """
+
+    momentum: float = BN_MOMENTUM_DET
+    epsilon: float = BN_EPS_DET
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return _FastBN(
             momentum=self.momentum,
             epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
             axis_name=self.axis_name,
-        )(x.astype(jnp.float32))
-        return y.astype(in_dtype)
+            name="BatchNorm_0",
+        )(x, train=train)
 
 
 class ConvSame(nn.Module):

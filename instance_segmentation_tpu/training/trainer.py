@@ -54,7 +54,8 @@ class Trainer:
         ratios = tuple(tuple(r) for r in parse_anchor_expr(cfg.anchors_ratios))
         self.model_cfg = EfficientSegConfig(
             num_classes=num_classes, compound_coef=cfg.compound_coef,
-            scales=scales, ratios=ratios, compute_dtype=dtype)
+            scales=scales, ratios=ratios, compute_dtype=dtype,
+            remat=bool(tpu_cfg.get("remat")) if tpu_cfg else False)
         self.model = EfficientSeg(self.model_cfg)
 
         opt = cfg.optimizer

@@ -102,14 +102,17 @@ def main():
 
     # model-only fwd+bwd: grads of a trivial sum-of-outputs loss w.r.t. params
     # (train=True so BN batch stats + mutable state match the real step)
+    drng = jax.random.PRNGKey(2)
+
     def _triv(p, s, x):
         outs, new_vars = model.apply(
             {"params": p, "batch_stats": s}, x, train=True,
-            mutable=["batch_stats"])
+            mutable=["batch_stats"], rngs={"dropout": drng})
         return sum(jnp.sum(o.astype(jnp.float32)) for o in outs), new_vars
     triv_g = jax.jit(jax.grad(_triv, has_aux=True))
     fwd_train = jax.jit(lambda p, s, x: model.apply(
-        {"params": p, "batch_stats": s}, x, train=True, mutable=["batch_stats"]))
+        {"params": p, "batch_stats": s}, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": drng}))
 
     # per-loss value_and_grad w.r.t. the relevant OUTPUT tensor
     det_g = jax.jit(jax.value_and_grad(
@@ -122,38 +125,59 @@ def main():
     all_g = jax.jit(jax.value_and_grad(
         lambda o: compose_loss(o, targets, anchors, lcfg)[0]))
 
-    def bench(name, f, *xs):
+    def _force(r):
+        # device_get of a leaf slice: the single device stream guarantees all
+        # queued work finished (block_until_ready can return early over the
+        # axon tunnel for large multi-output executables)
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        jax.device_get(jnp.ravel(leaf)[:1])
+
+    jobs = [
+        ("model fwd (eval)", fwd, (state.params, state.batch_stats, images)),
+        ("model fwd (train)", fwd_train, (state.params, state.batch_stats, images)),
+        ("model fwd+bwd (trivial)", triv_g, (state.params, state.batch_stats, images)),
+    ]
+    if not args.skip_losses:
+        jobs += [
+            ("targets", tgt_fn, (polys, n_verts, cls_ids)),
+            ("det loss (g wrt out)", det_g, ((classification, regression),)),
+            ("kp loss (g wrt out)", kp_g, (kp,)),
+            ("ae loss (g wrt out)", ae_g, (ae,)),
+            ("tan loss (g wrt out)", tan_g, (tan,)),
+            ("ALL losses (g wrt out)", all_g,
+             ((kp, ae, tan, regression, classification),)),
+        ]
+    t_full = None
+    if not args.skip_full:
+        step = make_train_step(model, H, W, lcfg, max_points=P, donate=False)
+        srng = jax.random.PRNGKey(1)
+        jobs.append(("FULL train step", step,
+                     (state, images, polys, n_verts, cls_ids, srng)))
+
+    # compile/warm everything OUTSIDE the trace context: compiles under an
+    # active profiler miss the persistent cache (observed: identical programs
+    # recompiled from scratch when jax.profiler.trace was open)
+    compile_s = {}
+    for name, f, xs in jobs:
         t0 = time.perf_counter()
-        r = jax.block_until_ready(f(*xs))
-        compile_s = time.perf_counter() - t0
-        t = time.perf_counter()
-        for _ in range(args.iters):
-            r = f(*xs)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t) / args.iters
-        print(f"{name:26s} {dt*1e3:9.2f} ms  ({dt*1e3/B:7.2f} ms/img)"
-              f"   [compile {compile_s:.1f}s]")
-        return dt
+        _force(f(*xs))
+        compile_s[name] = time.perf_counter() - t0
 
     import contextlib
     ctx = jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
     with ctx:
-        bench("model fwd (eval)", fwd, state.params, state.batch_stats, images)
-        bench("model fwd (train)", fwd_train, state.params, state.batch_stats, images)
-        bench("model fwd+bwd (trivial)", triv_g, state.params, state.batch_stats, images)
-        if not args.skip_losses:
-            bench("targets", tgt_fn, polys, n_verts, cls_ids)
-            bench("det loss (g wrt out)", det_g, (classification, regression))
-            bench("kp loss (g wrt out)", kp_g, kp)
-            bench("ae loss (g wrt out)", ae_g, ae)
-            bench("tan loss (g wrt out)", tan_g, tan)
-            bench("ALL losses (g wrt out)", all_g, (kp, ae, tan, regression, classification))
-        if not args.skip_full:
-            step = make_train_step(model, H, W, lcfg, max_points=P, donate=False)
-            srng = jax.random.PRNGKey(1)
-            t_full = bench("FULL train step", step, state, images, polys,
-                           n_verts, cls_ids, srng)
-            print(f"train throughput at batch {B}: {B/t_full:.2f} img/s/chip")
+        for name, f, xs in jobs:
+            t = time.perf_counter()
+            for _ in range(args.iters):
+                r = f(*xs)
+            _force(r)
+            dt = (time.perf_counter() - t) / args.iters
+            print(f"{name:26s} {dt*1e3:9.2f} ms  ({dt*1e3/B:7.2f} ms/img)"
+                  f"   [compile {compile_s[name]:.1f}s]", flush=True)
+            if name == "FULL train step":
+                t_full = dt
+    if t_full is not None:
+        print(f"train throughput at batch {B}: {B/t_full:.2f} img/s/chip")
 
 
 if __name__ == "__main__":
