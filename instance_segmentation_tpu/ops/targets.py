@@ -81,11 +81,22 @@ def _sample_one_polygon(poly: jnp.ndarray, n_verts: jnp.ndarray,
     # broadcast compare-sum is a fused [P, V] reduction)
     edge = jnp.sum((cum[None, :] <= slots[:, None]).astype(jnp.int32), axis=1)
     edge_c = jnp.clip(edge, 0, poly.shape[0] - 1)
-    start = jnp.where(edge_c > 0, cum[edge_c - 1], 0)
-    k = (slots - start).astype(jnp.float32) * 2.0               # step along edge
-    md = jnp.maximum(max_dist[edge_c], 1e-8)
-    pts = v0[edge_c] + d[edge_c] / md[:, None] * k[:, None]     # [P, 2] float
-    nrm = normal[edge_c]
+    # per-slot edge data via one-hot matmul: [P,V] @ [V,6] on the MXU.
+    # Index gathers (v0/d/normal/max_dist/cum at edge_c) run at scalar rates
+    # on TPU (~8 ns/element); the one-hot contraction is exact (single
+    # nonzero product per row) and batches over instances.
+    onehot = (edge_c[:, None] == jnp.arange(poly.shape[0])[None, :]
+              ).astype(jnp.float32)                             # [P, V]
+    cum_prev = cum - n_samp                                     # exclusive cumsum
+    data = jnp.concatenate(
+        [v0, d, normal, max_dist[:, None], cum_prev[:, None].astype(jnp.float32)],
+        axis=-1)                                                # [V, 8]
+    g = onehot @ data                                           # [P, 8]
+    v0_s, d_s, nrm = g[:, 0:2], g[:, 2:4], g[:, 4:6]
+    start = g[:, 7]
+    k = (slots.astype(jnp.float32) - start) * 2.0               # step along edge
+    md = jnp.maximum(g[:, 6], 1e-8)
+    pts = v0_s + d_s / md[:, None] * k[:, None]                 # [P, 2] float
 
     in_bounds = ((pts[:, 0] > 1) & (pts[:, 0] < h - 2) &
                  (pts[:, 1] > 1) & (pts[:, 1] < w - 2))
