@@ -40,6 +40,12 @@ class LossConfig:
     # cuts the dominant training-loss cost ~4x; instances whose reference
     # window (2x boundary bbox, ref loss.py:288) exceeds it lose the pixels
     # outside the crop — only the largest objects are affected.
+    ae_impl: str = "auto"
+    # "auto" | "dense" | "pallas" for the exact (ae_window=None) focal term.
+    # auto resolves to the Pallas streaming kernel on a single-device TPU
+    # backend when the shapes tile (losses/ae_pallas.py), else the XLA dense
+    # formulation. Both compute the same per-element math; only the partial-
+    # sum order differs.
 
 
 def coordinate_grid(h: int, w: int) -> jnp.ndarray:
@@ -267,7 +273,8 @@ def _shift_min_r2(imp: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
     return out
 
 
-def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray):
+def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
+                             impl: str = "dense"):
     """Per-instance AE focal terms as ONE fused broadcast over [B, M, H, W].
 
     Numerically identical (same per-element ops) to evaluating the reference's
@@ -303,16 +310,30 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
     rb = jnp.stack([jnp.clip(rb[..., 0], 0, H), jnp.clip(rb[..., 1], 0, W)],
                    axis=-1)
 
-    # point-pixel impulse per instance: one batched scatter (no gradient)
+    # per-instance sample-count map: one batched scatter-add (no gradient);
+    # u16 is exact (counts <= P)
     safe = jnp.clip(kps, 0, jnp.array([H - 1, W - 1]))
     flat = safe[..., 0] * W + safe[..., 1]                          # [B,M,P]
     bm = (jnp.arange(B * M, dtype=jnp.int32).reshape(B, M, 1) * HW)
     idx = jnp.where(val, flat + bm, B * M * HW)                     # OOB -> drop
-    imp = jnp.zeros((B * M * HW,), jnp.uint8).at[idx.reshape(-1)].max(
-        jnp.uint8(1), mode="drop").reshape(B, M, H, W).astype(bool)
+    cnt = jnp.zeros((B * M * HW,), jnp.uint16).at[idx.reshape(-1)].add(
+        jnp.uint16(1), mode="drop").reshape(B, M, H, W)
+    imp = cnt > 0
     r2 = _shift_min_r2(imp)                                         # [B,M,H,W] u8
 
     valid = targets.inst_valid
+
+    if impl == "pallas":
+        from instance_segmentation_tpu.losses import ae_pallas
+        tab = ae_pallas._pack_table(c_emb, lt, rb, valid)
+        anyp = ae_pallas._any_points(cnt)
+        table = tuple(sorted(_NEG4_TABLE.items()))
+        pos, neg, npos, pull = ae_pallas.ae_terms(
+            e[..., 0], e[..., 1], s[..., 0], s[..., 1], r2, cnt, table,
+            tab, anyp)
+        i_loss = jnp.where(npos == 0, -neg,
+                           -(pos + neg) / jnp.clip(npos, 1.0, None))
+        return i_loss, pull * valid.astype(jnp.float32)
 
     def focal_terms(e, s):
         # fully fused [B,M,H,W] chain; checkpointed so backward recomputes.
@@ -343,7 +364,9 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
         return pos, neg, npos
 
     pos, neg, npos = jax.checkpoint(focal_terms)(e, s)
-    return jnp.where(npos == 0, -neg, -(pos + neg) / jnp.clip(npos, 1.0, None))
+    i_loss = jnp.where(npos == 0, -neg,
+                       -(pos + neg) / jnp.clip(npos, 1.0, None))
+    return i_loss, None
 
 
 def _ae_pull_term(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray):
@@ -389,8 +412,17 @@ def ae_loss(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
     path (approximate for instances whose reference window exceeds the crop).
     """
     if cfg.ae_window is None:
-        i_loss = _ae_instance_focal_dense(ae, targets, xym)         # [B,M]
-        v_loss = _ae_pull_term(ae, targets, xym)                    # [B,M]
+        impl = cfg.ae_impl
+        if impl == "auto":
+            from instance_segmentation_tpu.losses import ae_pallas
+            B_, H_, W_, _ = ae.shape
+            impl = ("pallas"
+                    if (jax.default_backend() == "tpu"
+                        and ae_pallas.supported(H_, W_, targets.points.shape[1]))
+                    else "dense")
+        i_loss, v_loss = _ae_instance_focal_dense(ae, targets, xym, impl)
+        if v_loss is None:                  # dense path: XLA pull term
+            v_loss = _ae_pull_term(ae, targets, xym)                # [B,M]
         n = jnp.sum(targets.inst_valid, axis=1).astype(jnp.float32)  # [B]
         per = jnp.where(n > 0,
                         (jnp.sum(i_loss, axis=1) + jnp.sum(v_loss, axis=1))
