@@ -4,6 +4,13 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
 
+`ISEG_BENCH_TRAIN=1` (or --train) benchmarks the FULL compiled training
+step instead (on-device targets + 4 losses + grads + Adam, B3 512x1024,
+batch ISEG_BENCH_TRAIN_BATCH=4, M=96 instances, P=1024 boundary points) —
+still one JSON line, metric name `..._train_imgs_per_sec_per_chip`,
+vs_baseline null (the reference repo has no measurable training-throughput
+baseline on this host).
+
 Workload (the reference's shipped config): EfficientSeg-B3 at 512x1024
 (each processed frame is a 1024x2048 Cityscapes image resized x1/2,
 ref configs/trans_cfg.json), bf16 compute, batch 1, followed by the FULL
@@ -25,6 +32,67 @@ import os
 import time
 
 
+def _force_factory(jax, jnp):
+    def force(r):
+        # device_get of a leaf slice: the single device stream guarantees all
+        # queued work actually finished (block_until_ready has been observed
+        # returning early over the axon tunnel for multi-output executables)
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        jax.device_get(jnp.ravel(leaf)[:1])
+    return force
+
+
+def bench_train():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instance_segmentation_tpu.losses import LossConfig
+    from instance_segmentation_tpu.models import EfficientSeg, EfficientSegConfig
+    from instance_segmentation_tpu.parallel import create_train_state, make_train_step
+    from instance_segmentation_tpu.parallel.train_step import make_optimizer
+
+    force = _force_factory(jax, jnp)
+    H, W, M, P = 512, 1024, 96, 1024
+    B = int(os.environ.get("ISEG_BENCH_TRAIN_BATCH", "4"))
+    model = EfficientSeg(EfficientSegConfig(
+        num_classes=8, compound_coef=3, compute_dtype=jnp.bfloat16))
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, H, W, 3),
+                               make_optimizer("Adam", 2e-5))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (B, H, W, 3), dtype=np.uint8))
+    polys = np.zeros((B, M, 8, 2), np.float32)
+    n_verts = np.zeros((B, M), np.int32)
+    cls_ids = np.full((B, M), -1, np.int32)
+    for b in range(B):
+        for m in range(16):
+            cy, cx = rng.uniform(80, H - 80), rng.uniform(120, W - 120)
+            rh, rw = rng.uniform(20, 70), rng.uniform(30, 100)
+            ang = np.linspace(0, 2 * np.pi, 9)[:-1]
+            polys[b, m] = np.stack([cy + rh * np.sin(ang), cx + rw * np.cos(ang)], -1)
+            n_verts[b, m] = 8
+            cls_ids[b, m] = rng.integers(0, 8)
+        polys[b, 16:] = polys[b, 0, 0]
+    polys, n_verts, cls_ids = map(jnp.asarray, (polys, n_verts, cls_ids))
+
+    step = make_train_step(model, H, W, LossConfig(), max_points=P, donate=False)
+    srng = jax.random.PRNGKey(1)
+    force(step(state, images, polys, n_verts, cls_ids, srng))
+    iters = 20
+    t = time.time()
+    r = None
+    for _ in range(iters):
+        r = step(state, images, polys, n_verts, cls_ids, srng)
+    force(r)
+    dt = (time.time() - t) / (iters * B)
+    print(json.dumps({
+        "metric": "cityscapes_b3_512x1024_train_imgs_per_sec_per_chip",
+        "value": round(1.0 / dt, 3),
+        "unit": "img/s",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     os.environ.setdefault("ISEG_JIT_CACHE", "/tmp/iseg_jit_cache")
     import jax
@@ -33,6 +101,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    import sys
+    if os.environ.get("ISEG_BENCH_TRAIN") or "--train" in sys.argv[1:]:
+        return bench_train()
     import jax.numpy as jnp
     import numpy as np
 
@@ -70,12 +141,7 @@ def main():
 
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
-    def force(r):
-        # device_get of a leaf slice: the single device stream guarantees all
-        # queued work actually finished (block_until_ready has been observed
-        # returning early over the axon tunnel for multi-output executables)
-        leaf = jax.tree_util.tree_leaves(r)[0]
-        jax.device_get(jnp.ravel(leaf)[:1])
+    force = _force_factory(jax, jnp)
 
     # warmup / compile
     force(infer(params, batch_stats, images))

@@ -414,6 +414,9 @@ def ae_loss(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
     if cfg.ae_window is None:
         impl = cfg.ae_impl
         if impl == "auto":
+            import os
+            impl = os.environ.get("ISEG_AE_IMPL", "auto")
+        if impl == "auto":
             from instance_segmentation_tpu.losses import ae_pallas
             B_, H_, W_, _ = ae.shape
             impl = ("pallas"
@@ -541,8 +544,13 @@ def tangent_loss(tan: jnp.ndarray, targets: Targets,
             .reshape(B, H, W, 2))
     nmap = jax.lax.stop_gradient(nmap)
 
-    t = tan / jnp.clip(jnp.sqrt(jnp.sum(tan * tan, axis=-1, keepdims=True)),
-                       _EPS, None)
+    # sqrt(max(n2, eps^2)) == clip(sqrt(n2), eps) in value, but its gradient
+    # at n2 == 0 is 0 instead of 0 * inf = NaN. The dense form normalizes
+    # EVERY pixel (the per-sample form only touched boundary pixels), so
+    # underflowed-to-zero activations otherwise poison the whole backward —
+    # observed as training NaN at ~step 1700 of the overfit demo.
+    n2 = jnp.sum(tan * tan, axis=-1, keepdims=True)
+    t = tan / jnp.sqrt(jnp.maximum(n2, _EPS * _EPS))
     dot = jnp.sum(t * nmap, axis=(1, 2, 3))                               # [B]
     n_val = jnp.sum(val, axis=1).astype(jnp.float32)
     per = jnp.where(n_val > 0, (n_val - dot) / jnp.clip(n_val, 1.0, None), 0.0)

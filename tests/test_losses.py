@@ -116,6 +116,16 @@ def test_tangent_loss(setup):
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_tangent_loss_grad_finite_at_zero_field(setup):
+    """Regression: the dense tangent form normalizes EVERY pixel; an
+    underflowed-to-zero activation must not produce 0*inf = NaN in backward
+    (observed as training NaN at ~step 1700 of the overfit demo)."""
+    rng, cls_ids, polys, packed, tg = setup
+    tan = jnp.zeros((1, H, W, 2), jnp.float32)
+    g = jax.jit(jax.grad(lambda t: tangent_loss(t, tg)))(tan)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_compose_loss_finite(setup):
     rng, cls_ids, polys, packed, tg = setup
     anchors = jnp.asarray(generate_anchors(H, W, pyramid_levels=(3, 4, 5)))
