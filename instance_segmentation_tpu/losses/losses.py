@@ -173,6 +173,21 @@ def kp_focal_loss(kp_logits: jnp.ndarray, kp_tgt: jnp.ndarray) -> jnp.ndarray:
     return focal_heatmap_loss(pred, kp_tgt)
 
 
+def kp_focal_loss_from_cnt(kp_logits: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
+    """kp focal from the per-instance sample-count map (shared with the AE
+    loss): the dense binary target is exactly ``any(cnt > 0)`` over
+    instances, so the whole loss is one fused dense pass — no sort, no
+    gather, and a dense elementwise backward. Identical value to
+    kp_focal_loss on the rasterized mask / kp_focal_loss_from_points."""
+    pred = jnp.clip(jax.nn.sigmoid(kp_logits[..., 0]), _EPS, 1.0 - _EPS)
+    u = jnp.any(cnt > 0, axis=1).astype(jnp.float32)          # [B, H, W]
+    pos = jnp.sum(jnp.log(pred) * (1.0 - pred) ** 2 * u)
+    neg = jnp.sum(jnp.log(1.0 - pred) * pred ** 2 * (1.0 - u))
+    num_pos = jnp.sum(u)
+    return jnp.where(num_pos == 0, -neg,
+                     -(pos + neg) / jnp.clip(num_pos, 1.0, None))
+
+
 def kp_focal_loss_from_points(kp_logits: jnp.ndarray, targets: Targets) -> jnp.ndarray:
     """Scatter-free kp focal: identical value to kp_focal_loss on the dense
     binary mask, computed from the boundary point list.
@@ -273,8 +288,25 @@ def _shift_min_r2(imp: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
     return out
 
 
+def ae_sample_count(targets: Targets, h: int, w: int) -> jnp.ndarray:
+    """[B, M, H, W] u16 per-instance boundary-sample count map: one batched
+    scatter-add (no gradient); u16 is exact (counts <= P). Shared by the AE
+    focal/pull terms and the kp focal loss (whose dense binary target is
+    exactly ``any(cnt > 0)`` over instances)."""
+    B, M, P = targets.pt_valid.shape
+    HW = h * w
+    kps = targets.points
+    val = targets.pt_valid
+    safe = jnp.clip(kps, 0, jnp.array([h - 1, w - 1]))
+    flat = safe[..., 0] * w + safe[..., 1]                          # [B,M,P]
+    bm = (jnp.arange(B * M, dtype=jnp.int32).reshape(B, M, 1) * HW)
+    idx = jnp.where(val, flat + bm, B * M * HW)                     # OOB -> drop
+    return jnp.zeros((B * M * HW,), jnp.uint16).at[idx.reshape(-1)].add(
+        jnp.uint16(1), mode="drop").reshape(B, M, h, w)
+
+
 def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
-                             impl: str = "dense"):
+                             impl: str = "dense", cnt=None):
     """Per-instance AE focal terms as ONE fused broadcast over [B, M, H, W].
 
     Numerically identical (same per-element ops) to evaluating the reference's
@@ -310,14 +342,8 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
     rb = jnp.stack([jnp.clip(rb[..., 0], 0, H), jnp.clip(rb[..., 1], 0, W)],
                    axis=-1)
 
-    # per-instance sample-count map: one batched scatter-add (no gradient);
-    # u16 is exact (counts <= P)
-    safe = jnp.clip(kps, 0, jnp.array([H - 1, W - 1]))
-    flat = safe[..., 0] * W + safe[..., 1]                          # [B,M,P]
-    bm = (jnp.arange(B * M, dtype=jnp.int32).reshape(B, M, 1) * HW)
-    idx = jnp.where(val, flat + bm, B * M * HW)                     # OOB -> drop
-    cnt = jnp.zeros((B * M * HW,), jnp.uint16).at[idx.reshape(-1)].add(
-        jnp.uint16(1), mode="drop").reshape(B, M, H, W)
+    if cnt is None:
+        cnt = ae_sample_count(targets, H, W)
     imp = cnt > 0
     r2 = _shift_min_r2(imp)                                         # [B,M,H,W] u8
 
@@ -403,7 +429,7 @@ def _ae_pull_term(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray):
 
 
 def ae_loss(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
-            cfg: LossConfig = LossConfig()) -> jnp.ndarray:
+            cfg: LossConfig = LossConfig(), cnt=None) -> jnp.ndarray:
     """ae [B,H,W,4]; xym [H,W,2] from coordinate_grid.
 
     Default (ae_window=None): dense fused implementation — exact reference
@@ -423,7 +449,7 @@ def ae_loss(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
                     if (jax.default_backend() == "tpu"
                         and ae_pallas.supported(H_, W_, targets.points.shape[1]))
                     else "dense")
-        i_loss, v_loss = _ae_instance_focal_dense(ae, targets, xym, impl)
+        i_loss, v_loss = _ae_instance_focal_dense(ae, targets, xym, impl, cnt)
         if v_loss is None:                  # dense path: XLA pull term
             v_loss = _ae_pull_term(ae, targets, xym)                # [B,M]
         n = jnp.sum(targets.inst_valid, axis=1).astype(jnp.float32)  # [B]
@@ -570,11 +596,17 @@ def compose_loss(outputs, targets: Targets, anchors: jnp.ndarray,
 
     cls_l, reg_l = det_focal_loss(classification, regression, anchors,
                                   targets.det_ann, cfg)
+    # the per-instance sample-count map is shared: kp's dense binary target
+    # is its any-over-instances union, and the AE focal/pull terms consume
+    # it directly (one scatter instead of three point-list lowerings)
+    cnt = ae_sample_count(targets, H, W) if cfg.ae_window is None else None
     if targets.kp_tgt is not None:
         kp_l = kp_focal_loss(kp, targets.kp_tgt)
+    elif cnt is not None:
+        kp_l = kp_focal_loss_from_cnt(kp, cnt)
     else:
         kp_l = kp_focal_loss_from_points(kp, targets)
-    ae_l = ae_loss(ae, targets, xym, cfg)
+    ae_l = ae_loss(ae, targets, xym, cfg, cnt)
     tan_l = tangent_loss(tan, targets, cfg)
 
     total = cls_l + reg_l + kp_l + ae_l + tan_l

@@ -116,6 +116,19 @@ def test_tangent_loss(setup):
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_kp_focal_from_cnt_matches_from_points(setup):
+    """The shared sample-count map's union is exactly the dense binary kp
+    target, so the cnt-based focal must equal the sorted-point-list one."""
+    from instance_segmentation_tpu.losses.losses import (
+        ae_sample_count, kp_focal_loss_from_cnt, kp_focal_loss_from_points)
+    rng, cls_ids, polys, packed, tg = setup
+    kp = jnp.asarray(rng.normal(size=(1, H, W, 1)), jnp.float32)
+    cnt = ae_sample_count(tg, H, W)
+    a = jax.jit(kp_focal_loss_from_cnt)(kp, cnt)
+    b = jax.jit(kp_focal_loss_from_points)(kp, tg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
 def test_tangent_loss_grad_finite_at_zero_field(setup):
     """Regression: the dense tangent form normalizes EVERY pixel; an
     underflowed-to-zero activation must not produce 0*inf = NaN in backward
