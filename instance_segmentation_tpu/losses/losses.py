@@ -264,28 +264,22 @@ def _shift_min_r2(imp: jnp.ndarray, radius: int = 3) -> jnp.ndarray:
     pass then a row pass is exact. Out-of-image neighbours are BIG (the
     reference stamp clips at borders).
     """
-    big = jnp.uint8(_R2_BIG)
-    r2 = jnp.where(imp, jnp.uint8(0), big)
-
-    def shifted(x, d, axis):
-        y = jnp.roll(x, d, axis=axis)
-        # zero-fill semantics of _shift2d, but with BIG (absent neighbour)
-        n = x.shape[axis]
-        pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim + axis if axis < 0 else axis)
-        mask = (pos >= d) if d > 0 else (pos < n + d)
-        return jnp.where(mask, y, big)
-
-    col = r2
-    for dx in range(-radius, radius + 1):
-        if dx == 0:
-            continue
-        col = jnp.minimum(col, shifted(r2, dx, -1) + jnp.uint8(dx * dx))
-    out = col
-    for dy in range(-radius, radius + 1):
-        if dy == 0:
-            continue
-        out = jnp.minimum(out, shifted(col, dy, -2) + jnp.uint8(dy * dy))
-    return out
+    r2 = jnp.where(imp, jnp.uint8(0), jnp.uint8(_R2_BIG))
+    *lead, H, W = r2.shape
+    k = 2 * radius + 1
+    # pad-with-BIG + stacked slices + one min-reduce per axis: a single
+    # multi-input fusion per pass instead of a 6-deep chained-minimum
+    # dependency (values saturate at BIG + 2*radius^2 = 218 < 255)
+    p = jnp.pad(r2, [(0, 0)] * len(lead) + [(0, 0), (radius, radius)],
+                constant_values=_R2_BIG)
+    col = jnp.min(jnp.stack(
+        [p[..., :, i:i + W] + jnp.uint8((i - radius) ** 2) for i in range(k)],
+        axis=0), axis=0)
+    p = jnp.pad(col, [(0, 0)] * len(lead) + [(radius, radius), (0, 0)],
+                constant_values=_R2_BIG)
+    return jnp.min(jnp.stack(
+        [p[..., i:i + H, :] + jnp.uint8((i - radius) ** 2) for i in range(k)],
+        axis=0), axis=0)
 
 
 def ae_sample_count(targets: Targets, h: int, w: int) -> jnp.ndarray:
