@@ -64,8 +64,18 @@ def _window_hit(tab_ref, m, i, j):
             (tab_ref[0, _VALID, m] > 0.0))
 
 
+def _tile_hit(tab_ref, cntp_ref, m, i, j):
+    """Process (tile, instance) if the focal window overlaps the tile OR the
+    instance has boundary samples in it. The second clause matters for
+    border-clipped instances whose bbox-midpoint window misses some of their
+    in-bounds samples: the pull term sums over ALL sample pixels (ref AELoss
+    var term loss.py:307-311 is unwindowed), while the focal terms mask by
+    the window internally, so the extra tiles contribute 0 to them."""
+    return _window_hit(tab_ref, m, i, j) | (cntp_ref[0, m, i, j] > 0.0)
+
+
 def _make_fwd_kernel(m_real, table):
-    def kernel(tab_ref, anyp_ref, ey_ref, ex_ref, sy_ref, sx_ref,
+    def kernel(tab_ref, anyp_ref, cntp_ref, ey_ref, ex_ref, sy_ref, sx_ref,
                r2_ref, cnt_ref, out_ref, acc_ref, dmax_ref):
         i = pl.program_id(1)
         j = pl.program_id(2)
@@ -104,7 +114,7 @@ def _make_fwd_kernel(m_real, table):
             jax.lax.fori_loop(0, m_real, amax_body, 0)
 
         def body(m, _):
-            @pl.when(_window_hit(tab_ref, m, i, j))
+            @pl.when(_tile_hit(tab_ref, cntp_ref, m, i, j))
             def _():
                 r2 = r2_ref[0, m].astype(jnp.int32)      # [TH, TW]
                 cnt = cnt_ref[0, m].astype(jnp.int32).astype(jnp.float32)
@@ -141,8 +151,8 @@ def _make_fwd_kernel(m_real, table):
 
 
 def _make_bwd_kernel(m_real, table):
-    def kernel(tab_ref, anyp_ref, g_ref, ey_ref, ex_ref, sy_ref, sx_ref,
-               r2_ref, cnt_ref, dey_ref, dex_ref, dsy_ref, dsx_ref,
+    def kernel(tab_ref, anyp_ref, cntp_ref, g_ref, ey_ref, ex_ref, sy_ref,
+               sx_ref, r2_ref, cnt_ref, dey_ref, dex_ref, dsy_ref, dsx_ref,
                acc_ey, acc_ex, acc_sy, acc_sx, dmax_ref, amax_ref, gmax_ref):
         i = pl.program_id(1)
         j = pl.program_id(2)
@@ -183,7 +193,7 @@ def _make_bwd_kernel(m_real, table):
         # pass B: focal backward (window-skipped) + pull own-term; also
         # accumulate the -g·cnt·sign cotangent routed to the argmax center
         def body(m, _):
-            @pl.when(_window_hit(tab_ref, m, i, j))
+            @pl.when(_tile_hit(tab_ref, cntp_ref, m, i, j))
             def _():
                 r2 = r2_ref[0, m].astype(jnp.int32)
                 cnt = cnt_ref[0, m].astype(jnp.int32).astype(jnp.float32)
@@ -261,13 +271,18 @@ def _pack_table(c_emb, lt, rb, valid):
 
 
 def _any_points(cnt):
-    """[B, nh, nw] f32: 1.0 where the (TH, TW) tile holds any boundary
-    sample of any instance."""
+    """(anyp [B, nh, nw], cntp [B, M, nh, nw]) f32 presence tables:
+    anyp is 1.0 where the (TH, TW) tile holds any boundary sample of any
+    instance (gates the unwindowed d_max passes); cntp is the per-instance
+    version (extends the per-(tile, instance) skip test so the pull term
+    covers samples outside the focal window — see _tile_hit)."""
     B, M, H, W = cnt.shape
     nh, nw = H // _TH, W // _TW
     t = (cnt.astype(jnp.int32)
-         .reshape(B, M, nh, _TH, nw, _TW).sum(axis=(1, 3, 5)))
-    return (t > 0).astype(jnp.float32)
+         .reshape(B, M, nh, _TH, nw, _TW).sum(axis=(3, 5)))        # [B,M,nh,nw]
+    cntp = (t > 0).astype(jnp.float32)
+    anyp = (t.sum(axis=1) > 0).astype(jnp.float32)
+    return anyp, cntp
 
 
 def supported(h, w, m):
@@ -275,15 +290,15 @@ def supported(h, w, m):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def ae_terms(ey, ex, sy, sx, r2, cnt, table, tab, anyp):
+def ae_terms(ey, ex, sy, sx, r2, cnt, table, tab, anyp, cntp):
     """ey/ex/sy/sx [B,H,W] f32; r2 [B,M,H,W] u8; cnt [B,M,H,W] u16;
-    tab [B,8,MPAD] f32 (_pack_table); anyp [B,nh,nw] f32 (_any_points).
-    Returns (pos, neg, npos, pull) each [B, M]."""
-    out, _ = _fwd_impl(ey, ex, sy, sx, r2, cnt, table, tab, anyp)
+    tab [B,8,MPAD] f32 (_pack_table); anyp [B,nh,nw] + cntp [B,M,nh,nw] f32
+    (_any_points). Returns (pos, neg, npos, pull) each [B, M]."""
+    out, _ = _fwd_impl(ey, ex, sy, sx, r2, cnt, table, tab, anyp, cntp)
     return out
 
 
-def _fwd_impl(ey, ex, sy, sx, r2, cnt, table, tab, anyp):
+def _fwd_impl(ey, ex, sy, sx, r2, cnt, table, tab, anyp, cntp):
     B, H, W = ey.shape
     M = r2.shape[1]
     nh, nw = H // _TH, W // _TW
@@ -300,6 +315,8 @@ def _fwd_impl(ey, ex, sy, sx, r2, cnt, table, tab, anyp):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nh, nw), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, M, nh, nw), lambda b, i, j: (b, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
             spat, spat, spat, spat, mspat, mspat,
         ],
         out_specs=pl.BlockSpec((1, 8, _MPAD), lambda b, i, j: (b, 0, 0),
@@ -308,14 +325,14 @@ def _fwd_impl(ey, ex, sy, sx, r2, cnt, table, tab, anyp):
         scratch_shapes=[pltpu.VMEM((8, _MPAD), jnp.float32),
                         pltpu.VMEM((_TH, _TW), jnp.float32)],
         interpret=INTERPRET,
-    )(tab, anyp, ey, ex, sy, sx, r2, cnt)
+    )(tab, anyp, cntp, ey, ex, sy, sx, r2, cnt)
     out = (packed[:, 0, :M], packed[:, 1, :M], packed[:, 2, :M],
            packed[:, 3, :M])
-    return out, (ey, ex, sy, sx, r2, cnt, tab, anyp)
+    return out, (ey, ex, sy, sx, r2, cnt, tab, anyp, cntp)
 
 
 def _bwd_impl(table, res, cts):
-    ey, ex, sy, sx, r2, cnt, tab, anyp = res
+    ey, ex, sy, sx, r2, cnt, tab, anyp, cntp = res
     g_pos, g_neg, _g_npos, g_pull = cts    # npos: count, zero true gradient
     B, H, W = ey.shape
     M = r2.shape[1]
@@ -337,6 +354,8 @@ def _bwd_impl(table, res, cts):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nh, nw), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, M, nh, nw), lambda b, i, j: (b, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, _MPAD), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             spat, spat, spat, spat, mspat, mspat,
@@ -345,10 +364,10 @@ def _bwd_impl(table, res, cts):
         out_shape=[jax.ShapeDtypeStruct((B, H, W), jnp.float32)] * 4,
         scratch_shapes=[pltpu.VMEM((_TH, _TW), jnp.float32)] * 7,
         interpret=INTERPRET,
-    )(tab, anyp, g, ey, ex, sy, sx, r2, cnt)
-    return dey, dex, dsy, dsx, None, None, None, None
+    )(tab, anyp, cntp, g, ey, ex, sy, sx, r2, cnt)
+    return dey, dex, dsy, dsx, None, None, None, None, None
 
 
-ae_terms.defvjp(lambda ey, ex, sy, sx, r2, cnt, table, tab, anyp:
-                _fwd_impl(ey, ex, sy, sx, r2, cnt, table, tab, anyp),
+ae_terms.defvjp(lambda ey, ex, sy, sx, r2, cnt, table, tab, anyp, cntp:
+                _fwd_impl(ey, ex, sy, sx, r2, cnt, table, tab, anyp, cntp),
                 _bwd_impl)

@@ -289,6 +289,12 @@ def ae_sample_count(targets: Targets, h: int, w: int) -> jnp.ndarray:
     exactly ``any(cnt > 0)`` over instances)."""
     B, M, P = targets.pt_valid.shape
     HW = h * w
+    # The flat index space (plus the drop sentinel B*M*HW) must fit int32:
+    # at 1024x2048 with M=96 this wraps for B >= 12, silently corrupting the
+    # shared count map. Static shapes, so a plain Python assert at trace time.
+    assert B * M * HW + 1 < 2**31, (
+        f"ae_sample_count flat index space {B}*{M}*{HW} overflows int32; "
+        "reduce batch/instances or shard the scatter per-(B,M) slab")
     kps = targets.points
     val = targets.pt_valid
     safe = jnp.clip(kps, 0, jnp.array([h - 1, w - 1]))
@@ -346,11 +352,11 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
     if impl == "pallas":
         from instance_segmentation_tpu.losses import ae_pallas
         tab = ae_pallas._pack_table(c_emb, lt, rb, valid)
-        anyp = ae_pallas._any_points(cnt)
+        anyp, cntp = ae_pallas._any_points(cnt)
         table = tuple(sorted(_NEG4_TABLE.items()))
         pos, neg, npos, pull = ae_pallas.ae_terms(
             e[..., 0], e[..., 1], s[..., 0], s[..., 1], r2, cnt, table,
-            tab, anyp)
+            tab, anyp, cntp)
         i_loss = jnp.where(npos == 0, -neg,
                            -(pos + neg) / jnp.clip(npos, 1.0, None))
         return i_loss, pull * valid.astype(jnp.float32)

@@ -91,7 +91,10 @@ def _sample_one_polygon(poly: jnp.ndarray, n_verts: jnp.ndarray,
     data = jnp.concatenate(
         [v0, d, normal, max_dist[:, None], cum_prev[:, None].astype(jnp.float32)],
         axis=-1)                                                # [V, 8]
-    g = onehot @ data                                           # [P, 8]
+    # Precision pin: TPU matmuls default to bf16 operands; v0 coords (ulp 4 at
+    # 512-2048) and cum_prev (thousands, ulp 8-16) would truncate and displace
+    # samples by tens of px along edges. HIGHEST keeps the selection exact.
+    g = jnp.matmul(onehot, data, precision=jax.lax.Precision.HIGHEST)  # [P, 8]
     v0_s, d_s, nrm = g[:, 0:2], g[:, 2:4], g[:, 4:6]
     start = g[:, 7]
     k = (slots.astype(jnp.float32) - start) * 2.0               # step along edge

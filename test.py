@@ -71,10 +71,22 @@ def main():
 
     state = create_train_state(model, jax.random.PRNGKey(cfg.seed),
                                (1, *input_hw, 3), make_optimizer())
+    # Load the EXACT named checkpoint when weights_path is given (ref
+    # test.py:85-94 loads the named file strict); only fall back to
+    # restore_latest when no path is configured.
     weights_path = cfg.get("weights_path")
-    mgr = CheckpointManager(os.path.dirname(weights_path) if weights_path
-                            else data_cfg.save_dir)
-    state, _, _ = mgr.restore_latest(state)
+    if weights_path:
+        weights_path = weights_path.rstrip("/")
+        mgr = CheckpointManager(os.path.dirname(weights_path))
+        name = os.path.basename(weights_path)
+        if name not in mgr.list_checkpoints():
+            raise FileNotFoundError(
+                f"weights_path {weights_path!r} is not a checkpoint "
+                f"(available: {mgr.list_checkpoints()})")
+        state, _, _ = mgr.restore_named(name, state)
+    else:
+        mgr = CheckpointManager(data_cfg.save_dir)
+        state, _, _ = mgr.restore_latest(state)
 
     eval_tf = CommonTransforms(trans_cfg, "val")
     test_image = data_cfg.get("test_image")
@@ -105,7 +117,14 @@ def main():
 
     draw_flag = bool(decode_cfg.get("draw_flag"))
 
+    batch_size = int(data_cfg.get("batch_size") or 1)
+
     def handle(images_np, infos):
+        if images_np.shape[0] < batch_size:
+            # pad the final partial batch to the fixed shape (one compile)
+            pad = np.zeros((batch_size - images_np.shape[0],
+                            *images_np.shape[1:]), images_np.dtype)
+            images_np = np.concatenate([images_np, pad], axis=0)
         dets = infer(state.params, state.batch_stats, images_np)
         det_lists = detections_to_json(dets, infos)
         for i, (det_list, info) in enumerate(zip(det_lists, infos)):

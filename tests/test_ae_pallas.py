@@ -62,6 +62,46 @@ def test_ae_pallas_grad_matches_dense():
     assert rel < 1e-4, rel
 
 
+def test_ae_pallas_border_clipped_instance():
+    """Instance mostly off-image: its bbox-midpoint center sits off-screen,
+    so the focal window (center +/- mask_size/2, clipped) misses some or all
+    of the in-bounds sample pixels. The pull term is unwindowed in the dense
+    path — the Pallas path must cover those tiles too (ADVICE r2 medium)."""
+    B, H, W, M, P = 1, 256, 512, 8, 64
+    rng = np.random.default_rng(3)
+    ae = jnp.asarray(rng.normal(0, 1, (B, H, W, 4)).astype(np.float32))
+    polys = np.zeros((B, M, 8, 2), np.float32)
+    nv = np.zeros((B, M), np.int32)
+    ci = np.full((B, M), -1, np.int32)
+    # rectangle spanning cols [-500, 60]: center col = -220, window cols clip
+    # to an empty range while samples live on the col-60 edge (first edge so
+    # the P=64 sample budget reaches it)
+    polys[0, 0] = np.array([[80, 60], [160, 60], [160, -500], [80, -500],
+                            [80, 60], [160, 60], [160, -500], [80, -500]],
+                           np.float32)
+    nv[0, 0] = 4
+    ci[0, 0] = 2
+    # plus one ordinary interior instance so d_max competition is nontrivial
+    polys[0, 1] = np.array([[100, 100], [100, 180], [170, 180], [170, 100],
+                            [100, 100], [100, 180], [170, 180], [170, 100]],
+                           np.float32)
+    nv[0, 1] = 4
+    ci[0, 1] = 5
+    polys[0, 2:] = polys[0, 1, 0]
+    tg = generate_targets(jnp.asarray(polys), jnp.asarray(nv),
+                          jnp.asarray(ci), H, W, max_points=P, dense_kp=False)
+    # sanity: some sample pixels of instance 0 must fall outside its window
+    assert int(jnp.sum(tg.pt_valid[0, 0])) > 0
+    xym = coordinate_grid(H, W)
+    d = ae_loss(ae, tg, xym, LossConfig(ae_impl="dense"))
+    p = ae_loss(ae, tg, xym, LossConfig(ae_impl="pallas"))
+    np.testing.assert_allclose(float(p), float(d), rtol=1e-5)
+    gd = jax.grad(lambda a: ae_loss(a, tg, xym, LossConfig(ae_impl="dense")))(ae)
+    gp = jax.grad(lambda a: ae_loss(a, tg, xym, LossConfig(ae_impl="pallas")))(ae)
+    rel = float(jnp.max(jnp.abs(gd - gp)) / (jnp.max(jnp.abs(gd)) + 1e-9))
+    assert rel < 1e-4, rel
+
+
 def test_ae_pallas_empty_labels():
     ae, tg, xym = _fixture(n_real=0)
     p = ae_loss(ae, tg, xym, LossConfig(ae_impl="pallas"))
