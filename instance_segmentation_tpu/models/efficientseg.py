@@ -58,6 +58,11 @@ class EfficientSegConfig:
     mean: Tuple[float, ...] = DEFAULT_MEAN
     std: Tuple[float, ...] = DEFAULT_STD
     axis_name: Optional[str] = None
+    unet_s2d: bool = True  # run the U-Net's two finest stages in
+                           # space-to-depth layout (models/s2d.py): exact
+                           # same math + param tree, ~lane-exact /4 tensors
+                           # instead of 16-48-channel full-res ones. Auto
+                           # falls back when H or W is not divisible by 4.
     remat: bool = False   # rematerialize backbone blocks + U-Net stages
                           # (jax.checkpoint): trades ~30% step FLOPs for the
                           # activation memory of the full-res dense decoder —
@@ -127,7 +132,8 @@ class EfficientSeg(nn.Module):
         )(feats, train=train)
 
         kp, ae, tan = decoder_cls(
-            dtype=dtype, axis_name=c.axis_name, name="kp_header",
+            dtype=dtype, axis_name=c.axis_name, s2d=c.unet_s2d,
+            name="kp_header",
         )(x, blocks, train)
 
         return kp, ae, tan, regression, classification

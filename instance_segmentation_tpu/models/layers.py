@@ -60,38 +60,57 @@ def _swish_bwd(x, g):
 swish.defvjp(_swish_fwd, _swish_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _bn_train(x, scale, bias, eps):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bn_train(x, scale, bias, eps, phases=1):
     """Train-mode BN core: y from batch stats, plus (mean, var) for the
     running-average update. Hand-written VJP: the autodiff backward lowers to
     ~6 HBM passes over the activation (plus layout copies); this one is two —
-    a fused (Σg, Σg·x) reduce pass and a single elementwise dx pass."""
-    y, mean, var, _ = _bn_train_math(x, scale, bias, eps)
+    a fused (Σg, Σg·x) reduce pass and a single elementwise dx pass.
+
+    ``phases > 1`` (space-to-depth layout, models/s2d.py): the input carries
+    C*phases channels in phase-minor order; stats/params are per real channel
+    C, reducing the phase copies together — exactly the full-res BN."""
+    y, mean, var, _ = _bn_train_math(x, scale, bias, eps, phases)
     return y, mean, var
 
 
-def _bn_train_math(x, scale, bias, eps):
+def _group_phases(v, phases):
+    """[C*phases] phase-minor per-lane stat -> [C] per-channel mean."""
+    return v.reshape(-1, phases).mean(axis=1)
+
+
+def _expand_phases(v, phases):
+    return jnp.repeat(v, phases)
+
+
+def _bn_train_math(x, scale, bias, eps, phases=1):
     axes = tuple(range(x.ndim - 1))
     mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
     mean2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=axes)
+    if phases > 1:
+        mean = _group_phases(mean, phases)
+        mean2 = _group_phases(mean2, phases)
     var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
     r = jax.lax.rsqrt(var + eps)
     scale_eff = scale * r
     shift = bias - mean * scale_eff
+    if phases > 1:
+        scale_eff = _expand_phases(scale_eff, phases)
+        shift = _expand_phases(shift, phases)
     y = x * scale_eff.astype(x.dtype) + shift.astype(x.dtype)
     return y, mean, var, r
 
 
-def _bn_train_fwd(x, scale, bias, eps):
-    y, mean, var, r = _bn_train_math(x, scale, bias, eps)
+def _bn_train_fwd(x, scale, bias, eps, phases):
+    y, mean, var, r = _bn_train_math(x, scale, bias, eps, phases)
     return (y, mean, var), (x, scale, mean, r)
 
 
-def _bn_train_bwd(eps, res, cts):
+def _bn_train_bwd(eps, phases, res, cts):
     x, scale, mean, r = res
     gy, gmean, gvar = cts
     axes = tuple(range(x.ndim - 1))
-    n = 1
+    n = phases
     for d in x.shape[:-1]:
         n *= d
     inv_n = 1.0 / n
@@ -99,6 +118,9 @@ def _bn_train_bwd(eps, res, cts):
     # pass 1: fused pair of f32-accumulating reductions over (gy, gy*x)
     sg = jnp.sum(gy, axis=axes, dtype=jnp.float32)
     sgx = jnp.sum((gy * x).astype(jnp.float32), axis=axes)
+    if phases > 1:
+        sg = sg.reshape(-1, phases).sum(axis=1)
+        sgx = sgx.reshape(-1, phases).sum(axis=1)
 
     sgc = sgx - mean * sg                       # Σ gy·(x-μ)
     dscale = r * sgc
@@ -107,6 +129,10 @@ def _bn_train_bwd(eps, res, cts):
     a = scale * r
     c = -a * (r * r) * sgc * inv_n + 2.0 * inv_n * gvar
     d = -a * sg * inv_n + gmean * inv_n - c * mean
+    if phases > 1:
+        a = _expand_phases(a, phases)
+        c = _expand_phases(c, phases)
+        d = _expand_phases(d, phases)
     dx = (gy * a.astype(gy.dtype) + x * c.astype(x.dtype) + d.astype(x.dtype))
     return dx, dscale, dbias
 
@@ -136,10 +162,11 @@ class _FastBN(nn.Module):
     momentum: float = BN_MOMENTUM_DET
     epsilon: float = BN_EPS_DET
     axis_name: Optional[str] = None
+    phases: int = 1   # >1: space-to-depth layout, C*phases lanes share stats
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        ch = x.shape[-1]
+        ch = x.shape[-1] // self.phases
         scale = self.param("scale", nn.initializers.ones_init(), (ch,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (ch,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
@@ -150,7 +177,8 @@ class _FastBN(nn.Module):
         if train and self.axis_name is None:
             # fused custom-VJP fast path (GSPMD: sharded-batch reductions are
             # global automatically, so this stays a synchronized BN)
-            y, mean, var = _bn_train(x, scale, bias, float(self.epsilon))
+            y, mean, var = _bn_train(x, scale, bias, float(self.epsilon),
+                                     self.phases)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
@@ -160,6 +188,9 @@ class _FastBN(nn.Module):
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
             mean2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=axes)
+            if self.phases > 1:
+                mean = _group_phases(mean, self.phases)
+                mean2 = _group_phases(mean2, self.phases)
             mean, mean2 = jax.lax.pmean((mean, mean2), self.axis_name)
             var = jnp.maximum(mean2 - jax.lax.square(mean), 0.0)
             if not self.is_initializing():
@@ -171,6 +202,9 @@ class _FastBN(nn.Module):
 
         scale_eff = scale * jax.lax.rsqrt(var + self.epsilon)
         shift = bias - mean * scale_eff
+        if self.phases > 1:
+            scale_eff = _expand_phases(scale_eff, self.phases)
+            shift = _expand_phases(shift, self.phases)
         return x * scale_eff.astype(x.dtype) + shift.astype(x.dtype)
 
 
@@ -186,6 +220,7 @@ class BatchNorm(nn.Module):
     momentum: float = BN_MOMENTUM_DET
     epsilon: float = BN_EPS_DET
     axis_name: Optional[str] = None
+    phases: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -193,6 +228,7 @@ class BatchNorm(nn.Module):
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis_name=self.axis_name,
+            phases=self.phases,
             name="BatchNorm_0",
         )(x, train=train)
 

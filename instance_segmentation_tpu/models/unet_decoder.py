@@ -57,7 +57,15 @@ class UpConv(nn.Module):
 
 
 class UNetDecoder(nn.Module):
-    """U-Net over backbone snapshots [P1..P5] (+ raw input), with dense heads."""
+    """U-Net over backbone snapshots [P1..P5] (+ raw input), with dense heads.
+
+    ``s2d=True`` executes the two finest stages (the /2 stage and the
+    full-res input stage + heads) on the /4 cell grid in space-to-depth
+    layout with phase-transformed kernels (models/s2d.py) — exact same math
+    and the exact same parameter tree, but every full-res tensor becomes a
+    128-304-channel /4 tensor that tiles the TPU lanes instead of padding
+    16-48 channels to 128 (the round-2 backward-bound 2.3%-MFU hotspot).
+    """
 
     heads: Tuple[Tuple[str, int], ...] = (("kp", 1), ("ae", 4), ("tan", 2))
     concat_input: bool = True
@@ -65,24 +73,60 @@ class UNetDecoder(nn.Module):
     input_stage_channels: int = 16
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, blocks: List[jnp.ndarray],
                  train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        use_s2d = (self.s2d and self.concat_input
+                   and image.shape[1] % 4 == 0 and image.shape[2] % 4 == 0)
+        n_std = len(self.stage_channels) - (1 if use_s2d else 0)
         x = blocks[-1]
-        for i, ch in enumerate(self.stage_channels):
+        for i, ch in enumerate(self.stage_channels[:n_std]):
             x = UpConv(ch, dtype=self.dtype, name=f"up{i + 1}")(x)
             skip = blocks[-(i + 2)]
             x = jnp.concatenate([x, skip], axis=-1)
             x = DoubleConv(ch, dtype=self.dtype, axis_name=self.axis_name,
                            name=f"double{i + 1}")(x, train=train)
-        if self.concat_input:
-            x = UpConv(self.input_stage_channels, dtype=self.dtype, name="up_input")(x)
-            x = jnp.concatenate([x, image.astype(x.dtype)], axis=-1)
-            x = DoubleConv(self.input_stage_channels, dtype=self.dtype,
-                           axis_name=self.axis_name, name="double_input")(x, train=train)
+        if not use_s2d:
+            if self.concat_input:
+                x = UpConv(self.input_stage_channels, dtype=self.dtype, name="up_input")(x)
+                x = jnp.concatenate([x, image.astype(x.dtype)], axis=-1)
+                x = DoubleConv(self.input_stage_channels, dtype=self.dtype,
+                               axis_name=self.axis_name, name="double_input")(x, train=train)
+            outs = []
+            for name, ch in self.heads:
+                y = ConvSame(ch, (1, 1), dtype=self.dtype, name=f"head_{name}")(x)
+                outs.append(y.astype(jnp.float32))
+            return tuple(outs)
+
+        from instance_segmentation_tpu.models.s2d import (
+            DoubleConvS2D, HeadS2D, UpConvS2D, space_to_depth,
+        )
+        # last regular stage (/2 resolution) on the /4 cell grid, r=2
+        i = n_std
+        ch = self.stage_channels[i]
+        prev_ch = self.stage_channels[i - 1]
+        skip_ch = blocks[0].shape[-1]
+        x = UpConvS2D(ch, in_features=prev_ch, r_out=2, dtype=self.dtype,
+                      name=f"up{i + 1}")(x)
+        skip = space_to_depth(blocks[0].astype(x.dtype), 2)
+        x = jnp.concatenate([x, skip], axis=-1)   # phase-minor == s2d(concat)
+        x = DoubleConvS2D(ch, in_features=ch + skip_ch, r=2, dtype=self.dtype,
+                          axis_name=self.axis_name,
+                          name=f"double{i + 1}")(x, train=train)
+        # input stage (full resolution) on the same /4 cell grid, r=4
+        ic = self.input_stage_channels
+        x = UpConvS2D(ic, in_features=ch, r_out=4, dtype=self.dtype,
+                      name="up_input")(x)
+        img = space_to_depth(image.astype(x.dtype), 4)
+        x = jnp.concatenate([x, img], axis=-1)
+        x = DoubleConvS2D(ic, in_features=ic + image.shape[-1], r=4,
+                          dtype=self.dtype, axis_name=self.axis_name,
+                          name="double_input")(x, train=train)
         outs = []
         for name, ch in self.heads:
-            y = ConvSame(ch, (1, 1), dtype=self.dtype, name=f"head_{name}")(x)
+            y = HeadS2D(ch, in_features=ic, r=4, dtype=self.dtype,
+                        name=f"head_{name}")(x)
             outs.append(y.astype(jnp.float32))
         return tuple(outs)

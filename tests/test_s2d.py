@@ -1,0 +1,115 @@
+"""Space-to-depth U-Net execution (models/s2d.py) vs the standard path.
+
+The s2d path must be numerically EXACT (same math, reassociated sums): same
+parameter tree, same forward outputs, same BN batch-stat updates, same
+gradients — in f32 to tolerance ~1e-5.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instance_segmentation_tpu.models.s2d import (
+    depth_to_space, s2d_conv_kernel, s2d_upconv_matrix, space_to_depth,
+)
+from instance_segmentation_tpu.models.unet_decoder import UNetDecoder
+
+
+def test_space_to_depth_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 12, 5)),
+                    jnp.float32)
+    for r in (2, 4):
+        y = space_to_depth(x, r)
+        assert y.shape == (2, 8 // r, 12 // r, 5 * r * r)
+        np.testing.assert_array_equal(depth_to_space(y, r), x)
+
+
+@pytest.mark.parametrize("r", [2, 4])
+def test_s2d_conv_kernel_exact(r):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 5)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 5, 7)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    w = s2d_conv_kernel(k, r)
+    got = jax.lax.conv_general_dilated(
+        space_to_depth(x, r), w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(depth_to_space(got, r)),
+                               np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("r_out", [2, 4])
+def test_s2d_upconv_exact(r_out):
+    rng = np.random.default_rng(2)
+    r_in = r_out // 2
+    x = jnp.asarray(rng.normal(size=(2, 8 * r_in, 12 * r_in, 5)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 5, 6)), jnp.float32)
+    import flax.linen as nn
+    mod = nn.ConvTranspose(6, kernel_size=(2, 2), strides=(2, 2),
+                           padding="VALID")
+    ref = mod.apply({"params": {"kernel": k, "bias": jnp.zeros((6,))}}, x)
+    w = s2d_upconv_matrix(k, r_out)
+    xs = space_to_depth(x, r_in) if r_in > 1 else x
+    got = xs @ w
+    np.testing.assert_allclose(np.asarray(depth_to_space(got, r_out)),
+                               np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+
+def _decoder_fixture():
+    rng = np.random.default_rng(3)
+    B, H, W = 2, 64, 96
+    image = jnp.asarray(rng.normal(size=(B, H, W, 3)), jnp.float32)
+    chans = [16, 24, 40, 112, 320]          # B0 feature channels
+    blocks = [jnp.asarray(rng.normal(size=(B, H // (2 ** (i + 1)),
+                                           W // (2 ** (i + 1)), c)),
+                          jnp.float32) for i, c in enumerate(chans)]
+    return image, blocks
+
+
+def test_unet_s2d_matches_standard():
+    image, blocks = _decoder_fixture()
+    std = UNetDecoder(s2d=False)
+    s2d = UNetDecoder(s2d=True)
+    var = std.init(jax.random.PRNGKey(0), image, blocks, False)
+    var2 = s2d.init(jax.random.PRNGKey(0), image, blocks, False)
+    # identical parameter trees (paths, shapes, values)
+    jax.tree.map(np.testing.assert_array_equal, var["params"], var2["params"])
+
+    outs_std = std.apply(var, image, blocks, False)
+    outs_s2d = s2d.apply(var, image, blocks, False)
+    for a, b in zip(outs_std, outs_s2d):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_unet_s2d_train_stats_and_grads_match():
+    image, blocks = _decoder_fixture()
+    std = UNetDecoder(s2d=False)
+    s2d = UNetDecoder(s2d=True)
+    var = std.init(jax.random.PRNGKey(0), image, blocks, False)
+
+    def loss_fn(module, params):
+        def f(p):
+            outs, mut = module.apply(
+                {"params": p, "batch_stats": var["batch_stats"]},
+                image, blocks, True, mutable=["batch_stats"])
+            return sum(jnp.sum(o * o) for o in outs), mut["batch_stats"]
+        return jax.value_and_grad(f, has_aux=True)(params)
+
+    (l_std, bs_std), g_std = loss_fn(std, var["params"])
+    (l_s2d, bs_s2d), g_s2d = loss_fn(s2d, var["params"])
+    np.testing.assert_allclose(float(l_s2d), float(l_std), rtol=1e-5)
+    # BN running stats updated identically (finest-stage stats phase-grouped)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4), bs_std, bs_s2d)
+    flat_std = jax.tree.leaves(g_std)
+    flat_s2d = jax.tree.leaves(g_s2d)
+    for a, b in zip(flat_std, flat_s2d):
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        # atol floor 5e-3: conv biases feeding straight into BN have an
+        # ANALYTICALLY ZERO gradient (mean subtraction absorbs them); both
+        # paths produce only cancellation noise there, and the noise differs.
+        np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                   atol=5e-3)

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--skip-losses", action="store_true",
                     help="skip the per-loss blocks (model fwd/bwd only)")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--no-s2d", action="store_true",
+                    help="disable the U-Net space-to-depth execution path")
     args = ap.parse_args()
 
     os.environ.setdefault("ISEG_JIT_CACHE", "/tmp/iseg_jit_cache")
@@ -63,7 +65,8 @@ def main():
     lcfg = LossConfig(ae_window=tuple(args.ae_window) if args.ae_window else None)
 
     cfg = EfficientSegConfig(num_classes=8, compound_coef=args.compound,
-                             compute_dtype=jnp.bfloat16, remat=args.remat)
+                             compute_dtype=jnp.bfloat16, remat=args.remat,
+                             unet_s2d=not args.no_s2d)
     model = EfficientSeg(cfg)
     tx = make_optimizer("Adam", 2e-5)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, H, W, 3), tx)
