@@ -115,8 +115,9 @@ def main():
     H, W = 512, 1024
     ORIG_H, ORIG_W = 1024, 2048
     # throughput batch: per-image fixed costs (peak selection, NMS scan,
-    # assembly) amortize across the batch; batch 1 runs at ~72 img/s,
-    # batch 8 at ~87 img/s on v5e. The reference's shipped config is batch 1.
+    # assembly) amortize across the batch. The reference's shipped config is
+    # batch 1, so both batch 1 (latency) and batch 8 (throughput) are
+    # measured and reported in the one JSON line (headline = batch 8).
     BATCH = int(os.environ.get("ISEG_BENCH_BATCH", "8"))
     COMPOUND = 3
 
@@ -143,16 +144,18 @@ def main():
 
     force = _force_factory(jax, jnp)
 
-    # warmup / compile
-    force(infer(params, batch_stats, images))
+    def measure(batch_images, iters):
+        force(infer(params, batch_stats, batch_images))   # warmup / compile
+        t = time.time()
+        for _ in range(iters):
+            dets = infer(params, batch_stats, batch_images)
+        force(dets)
+        return (iters * batch_images.shape[0]) / (time.time() - t)
 
-    iters = 30
-    t = time.time()
-    for _ in range(iters):
-        dets = infer(params, batch_stats, images)
-    force(dets)
-    dt = (time.time() - t) / (iters * BATCH)
-    imgs_per_sec = 1.0 / dt
+    imgs_per_sec = measure(images, 30)
+    batch1_ips = None
+    if BATCH > 1 and not os.environ.get("ISEG_BENCH_SKIP_B1"):
+        batch1_ips = measure(images[:1], 30)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
@@ -167,12 +170,16 @@ def main():
         if entry and entry.get("value"):
             vs_baseline = imgs_per_sec / float(entry["value"])
 
-    print(json.dumps({
+    out = {
         "metric": "cityscapes_1024x2048_infer_decode_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline is not None else None,
-    }))
+    }
+    if batch1_ips is not None:
+        out["batch1_value"] = round(batch1_ips, 3)
+        out["batch"] = BATCH
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -96,6 +96,44 @@ def test_min_region_size_boundary():
     assert res2["AP"] == 0.0
 
 
+def test_golden_multi_image_multi_class():
+    """Two images, two classes, cross-image score pooling, a borderline-IoU
+    match that flips TP->FP as the overlap threshold rises. Hand-computed
+    with the official algorithm:
+
+    class 0: img a — GT (10,10,60,60) matched exactly by p=0.9 (TP at all
+    thresholds). img b — same GT matched by a (10,10,60,47) pred at 0.8
+    whose IoU is ~0.725-0.765 depending on raster inclusivity (TP for
+    th <= 0.70, FP for th >= 0.75 in every case), plus a pure FP at 0.7.
+      th <= 0.70: scores asc [0.7 FP, 0.8 TP, 0.9 TP], hardFns 0
+        -> PR (2/3, 1), (1, 1), (1, 0.5), art (1, 0) -> AP 1.0
+      th >= 0.75: [0.7 FP, 0.8 FP, 0.9 TP], hardFns 1
+        -> PR (1/3, .5), (.5, .5), (1, .5), art (1, 0) -> AP 0.5
+      class AP = (5*1.0 + 5*0.5)/10 = 0.75, AP50 = 1.0
+    class 1: img a — one exact TP at 0.6, no FPs -> AP 1.0.
+
+    Overall AP = 0.875, AP50 = 1.0.
+    """
+    sizes = {"a": (256, 256), "b": (256, 256)}
+    gts = [
+        InstanceGT("a", 0, _sq(10, 10, 60, 60)),
+        InstanceGT("b", 0, _sq(10, 10, 60, 60)),
+        InstanceGT("a", 1, _sq(100, 100, 150, 150)),
+    ]
+    preds = [
+        InstancePrediction("a", 0, 0.9, _sq(10, 10, 60, 60)),
+        InstancePrediction("b", 0, 0.8, _sq(10, 10, 60, 47)),
+        InstancePrediction("b", 0, 0.7, _sq(150, 150, 200, 200)),
+        InstancePrediction("a", 1, 0.6, _sq(100, 100, 150, 150)),
+    ]
+    res = compute_instance_ap(preds, gts, sizes, num_classes=8)
+    np.testing.assert_allclose(res["classes"][0]["AP"], 0.75, atol=1e-9)
+    np.testing.assert_allclose(res["classes"][0]["AP50"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(res["classes"][1]["AP"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(res["AP"], 0.875, atol=1e-9)
+    np.testing.assert_allclose(res["AP50"], 1.0, atol=1e-9)
+
+
 def test_parse_eval_label_json_groups_and_void():
     from instance_segmentation_tpu.data.cityscapes import parse_eval_label_json
     label_json = {"objects": [
