@@ -58,11 +58,18 @@ class EfficientSegConfig:
     mean: Tuple[float, ...] = DEFAULT_MEAN
     std: Tuple[float, ...] = DEFAULT_STD
     axis_name: Optional[str] = None
-    unet_s2d: bool = True  # run the U-Net's two finest stages in
+    unet_s2d: Any = "train"  # run the U-Net's two finest stages in
                            # space-to-depth layout (models/s2d.py): exact
                            # same math + param tree, ~lane-exact /4 tensors
                            # instead of 16-48-channel full-res ones. Auto
                            # falls back when H or W is not divisible by 4.
+                           # True: always; False: never; "train": only when
+                           # train=True — measured (B3 b4 512x1024, TPU
+                           # v5e): fwd+bwd 185.5 -> 157.6 ms with s2d, but
+                           # eval forward 29.0 -> 32.0 ms (the r=4 phase-
+                           # expanded kernels cost r^2 x FLOPs, a net loss
+                           # where layout overhead wasn't dominant), so the
+                           # default applies it where it wins.
     remat: bool = False   # rematerialize backbone blocks + U-Net stages
                           # (jax.checkpoint): trades ~30% step FLOPs for the
                           # activation memory of the full-res dense decoder —

@@ -65,6 +65,10 @@ class UNetDecoder(nn.Module):
     and the exact same parameter tree, but every full-res tensor becomes a
     128-304-channel /4 tensor that tiles the TPU lanes instead of padding
     16-48 channels to 128 (the round-2 backward-bound 2.3%-MFU hotspot).
+    ``s2d="train"`` applies it only when ``train=True``: the phase-expanded
+    kernels cost r^2 x the conv FLOPs, a clear win for the layout-bound
+    backward but a small net loss for the eval forward (measured B3 b4:
+    fwd+bwd 185.5 -> 157.6 ms, eval fwd 29.0 -> 32.0 ms).
     """
 
     heads: Tuple[Tuple[str, int], ...] = (("kp", 1), ("ae", 4), ("tan", 2))
@@ -73,12 +77,13 @@ class UNetDecoder(nn.Module):
     input_stage_channels: int = 16
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
-    s2d: bool = False
+    s2d: Any = False          # False | True | "train"
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, blocks: List[jnp.ndarray],
                  train: bool = False) -> Tuple[jnp.ndarray, ...]:
-        use_s2d = (self.s2d and self.concat_input
+        want_s2d = self.s2d is True or (self.s2d == "train" and train)
+        use_s2d = (want_s2d and self.concat_input
                    and image.shape[1] % 4 == 0 and image.shape[2] % 4 == 0)
         n_std = len(self.stage_channels) - (1 if use_s2d else 0)
         x = blocks[-1]

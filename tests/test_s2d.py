@@ -84,6 +84,28 @@ def test_unet_s2d_matches_standard():
                                    atol=2e-4, rtol=1e-4)
 
 
+def test_unet_s2d_train_mode_gating():
+    """s2d="train" runs the standard path at eval and the s2d path in
+    training, from ONE shared parameter tree (they are identical)."""
+    image, blocks = _decoder_fixture()
+    gated = UNetDecoder(s2d="train")
+    std = UNetDecoder(s2d=False)
+    s2d = UNetDecoder(s2d=True)
+    var = gated.init(jax.random.PRNGKey(0), image, blocks, False)
+
+    outs_eval = gated.apply(var, image, blocks, False)
+    outs_std = std.apply(var, image, blocks, False)
+    for a, b in zip(outs_std, outs_eval):          # eval == standard bitwise
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    def train_out(module):
+        outs, _ = module.apply(var, image, blocks, True,
+                               mutable=["batch_stats"])
+        return outs
+    for a, b in zip(train_out(s2d), train_out(gated)):  # train == s2d bitwise
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
 def test_unet_s2d_train_stats_and_grads_match():
     image, blocks = _decoder_fixture()
     std = UNetDecoder(s2d=False)
