@@ -64,17 +64,22 @@ def _window_hit(tab_ref, m, i, j):
             (tab_ref[0, _VALID, m] > 0.0))
 
 
-def _tile_hit(tab_ref, cntp_ref, m, i, j):
+def _tile_hit(tab_ref, cntp_ref, nw, m, i, j):
     """Process (tile, instance) if the focal window overlaps the tile OR the
     instance has boundary samples in it. The second clause matters for
     border-clipped instances whose bbox-midpoint window misses some of their
     in-bounds samples: the pull term sums over ALL sample pixels (ref AELoss
     var term loss.py:307-311 is unwindowed), while the focal terms mask by
-    the window internally, so the extra tiles contribute 0 to them."""
-    return _window_hit(tab_ref, m, i, j) | (cntp_ref[0, m, i, j] > 0.0)
+    the window internally, so the extra tiles contribute 0 to them.
+
+    cntp is [B, M, nh*nw] (tile axis flattened): an SMEM window keeps its
+    LAST dim padded to 128 lanes, so a [1, M, nh, nw] block would cost
+    M*nh*128 f32 x2 buffers — over the 1 MiB SMEM budget at 512x1024/M=96.
+    Flat, the padded block is M*max(nh*nw,128) f32: ~98 KiB."""
+    return _window_hit(tab_ref, m, i, j) | (cntp_ref[0, m, i * nw + j] > 0.0)
 
 
-def _make_fwd_kernel(m_real, table):
+def _make_fwd_kernel(m_real, table, nw):
     def kernel(tab_ref, anyp_ref, cntp_ref, ey_ref, ex_ref, sy_ref, sx_ref,
                r2_ref, cnt_ref, out_ref, acc_ref, dmax_ref):
         i = pl.program_id(1)
@@ -114,7 +119,7 @@ def _make_fwd_kernel(m_real, table):
             jax.lax.fori_loop(0, m_real, amax_body, 0)
 
         def body(m, _):
-            @pl.when(_tile_hit(tab_ref, cntp_ref, m, i, j))
+            @pl.when(_tile_hit(tab_ref, cntp_ref, nw, m, i, j))
             def _():
                 r2 = r2_ref[0, m].astype(jnp.int32)      # [TH, TW]
                 cnt = cnt_ref[0, m].astype(jnp.int32).astype(jnp.float32)
@@ -150,7 +155,7 @@ def _make_fwd_kernel(m_real, table):
     return kernel
 
 
-def _make_bwd_kernel(m_real, table):
+def _make_bwd_kernel(m_real, table, nw):
     def kernel(tab_ref, anyp_ref, cntp_ref, g_ref, ey_ref, ex_ref, sy_ref,
                sx_ref, r2_ref, cnt_ref, dey_ref, dex_ref, dsy_ref, dsx_ref,
                acc_ey, acc_ex, acc_sy, acc_sx, dmax_ref, amax_ref, gmax_ref):
@@ -193,7 +198,7 @@ def _make_bwd_kernel(m_real, table):
         # pass B: focal backward (window-skipped) + pull own-term; also
         # accumulate the -g·cnt·sign cotangent routed to the argmax center
         def body(m, _):
-            @pl.when(_tile_hit(tab_ref, cntp_ref, m, i, j))
+            @pl.when(_tile_hit(tab_ref, cntp_ref, nw, m, i, j))
             def _():
                 r2 = r2_ref[0, m].astype(jnp.int32)
                 cnt = cnt_ref[0, m].astype(jnp.int32).astype(jnp.float32)
@@ -271,16 +276,17 @@ def _pack_table(c_emb, lt, rb, valid):
 
 
 def _any_points(cnt):
-    """(anyp [B, nh, nw], cntp [B, M, nh, nw]) f32 presence tables:
+    """(anyp [B, nh, nw], cntp [B, M, nh*nw]) f32 presence tables:
     anyp is 1.0 where the (TH, TW) tile holds any boundary sample of any
     instance (gates the unwindowed d_max passes); cntp is the per-instance
     version (extends the per-(tile, instance) skip test so the pull term
-    covers samples outside the focal window — see _tile_hit)."""
+    covers samples outside the focal window — see _tile_hit). cntp's tile
+    axis is flattened so its SMEM window stays small (see _tile_hit)."""
     B, M, H, W = cnt.shape
     nh, nw = H // _TH, W // _TW
     t = (cnt.astype(jnp.int32)
          .reshape(B, M, nh, _TH, nw, _TW).sum(axis=(3, 5)))        # [B,M,nh,nw]
-    cntp = (t > 0).astype(jnp.float32)
+    cntp = (t > 0).astype(jnp.float32).reshape(B, M, nh * nw)
     anyp = (t.sum(axis=1) > 0).astype(jnp.float32)
     return anyp, cntp
 
@@ -308,14 +314,14 @@ def _fwd_impl(ey, ex, sy, sx, r2, cnt, table, tab, anyp, cntp):
     mspat = pl.BlockSpec((1, M, _TH, _TW), lambda b, i, j: (b, 0, i, j),
                          memory_space=pltpu.VMEM)
     packed = pl.pallas_call(
-        _make_fwd_kernel(M, table),
+        _make_fwd_kernel(M, table, nw),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _TROWS, _MPAD), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nh, nw), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, M, nh, nw), lambda b, i, j: (b, 0, 0, 0),
+            pl.BlockSpec((1, M, nh * nw), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             spat, spat, spat, spat, mspat, mspat,
         ],
@@ -347,14 +353,14 @@ def _bwd_impl(table, res, cts):
     mspat = pl.BlockSpec((1, M, _TH, _TW), lambda b, i, j: (b, 0, i, j),
                          memory_space=pltpu.VMEM)
     dey, dex, dsy, dsx = pl.pallas_call(
-        _make_bwd_kernel(M, table),
+        _make_bwd_kernel(M, table, nw),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _TROWS, _MPAD), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nh, nw), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, M, nh, nw), lambda b, i, j: (b, 0, 0, 0),
+            pl.BlockSpec((1, M, nh * nw), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, _MPAD), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
