@@ -157,3 +157,28 @@ def test_compose_loss_finite(setup):
         float(total),
         float(stats["cls_loss"] + stats["wh_loss"] + stats["kp_loss"]
               + stats["ae_loss"] + stats["tan_loss"]), rtol=1e-6)
+
+
+def test_compacted_scatters_match_full(setup):
+    """ae_sample_count / tangent nmap through the valid-sample compaction
+    (losses._compacted_scatter_add) are EXACT vs the full scatter, on both
+    cond branches: budget that fits and budget that overflows (fallback)."""
+    _, _, _, _, tg = setup
+    from instance_segmentation_tpu.losses.losses import (
+        LossConfig, ae_sample_count, tangent_loss)
+
+    full = np.asarray(ae_sample_count(tg, H, W, sample_budget=0))
+    n_valid = int(np.asarray(tg.pt_valid).sum())
+    assert n_valid > 4  # fixture sanity: both branches below are exercised
+    fits = np.asarray(ae_sample_count(tg, H, W, sample_budget=n_valid + 8))
+    np.testing.assert_array_equal(fits, full)
+    overflow = np.asarray(ae_sample_count(tg, H, W, sample_budget=4))
+    np.testing.assert_array_equal(overflow, full)
+
+    rng = np.random.default_rng(5)
+    tan = jnp.asarray(rng.normal(size=(1, H, W, 2)), jnp.float32)
+    ref = float(tangent_loss(tan, tg, LossConfig(sample_budget=0)))
+    got = float(tangent_loss(tan, tg, LossConfig(sample_budget=n_valid + 8)))
+    ovf = float(tangent_loss(tan, tg, LossConfig(sample_budget=4)))
+    assert got == pytest.approx(ref, rel=1e-6)
+    assert ovf == pytest.approx(ref, rel=1e-6)
