@@ -171,14 +171,17 @@ class EfficientNetFeatures(nn.Module):
     drop_connect_rate: float = 0.2
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    s2d: Any = False          # False | True | "train": run the stem + the /2
+                              # MBConv stage on the /4 cell grid in s2d(2)
+                              # layout (models/s2d.py MBConvS2D/StemS2D) —
+                              # exact, checkpoint-identical; kills the lane
+                              # padding of the 16-40-channel /2-res tensors.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         blocks = scaled_blocks(self.variant)
-        x = ConvSame(stem_filters(self.variant), (3, 3), strides=(2, 2), use_bias=False,
-                     dtype=self.dtype, name="stem_conv")(x)
-        x = BatchNorm(axis_name=self.axis_name, name="stem_bn")(x, train=train)
-        x = swish(x)
+        want_s2d = self.s2d is True or (self.s2d == "train" and train)
+        use_s2d = (want_s2d and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
 
         # flatten stages into the per-block list the reference iterates over
         flat: List[BlockArgs] = []
@@ -189,14 +192,42 @@ class EfficientNetFeatures(nn.Module):
                                       b.expand_ratio, 1, b.se_ratio))
         total = len(flat)
 
+        if use_s2d:
+            from instance_segmentation_tpu.models.s2d import (
+                MBConvS2D, StemS2D, depth_to_space, space_to_depth)
+            x = space_to_depth(x, 4)
+            x = StemS2D(stem_filters(self.variant), in_features=x.shape[-1] // 16,
+                        r_in=4, dtype=self.dtype, name="stem_conv")(x)
+            x = BatchNorm(axis_name=self.axis_name, phases=4,
+                          name="stem_bn")(x, train=train)
+            x = swish(x)
+        else:
+            x = ConvSame(stem_filters(self.variant), (3, 3), strides=(2, 2), use_bias=False,
+                         dtype=self.dtype, name="stem_conv")(x)
+            x = BatchNorm(axis_name=self.axis_name, name="stem_bn")(x, train=train)
+            x = swish(x)
+
         features: List[jnp.ndarray] = []
         last_x = None
+        in_cells = use_s2d          # x currently in s2d(2) on the /4 cells
         for idx, b in enumerate(flat):
             rate = self.drop_connect_rate * idx / total
-            y = MBConv(b, drop_rate=rate, dtype=self.dtype, axis_name=self.axis_name,
-                       name=f"block{idx}")(x, train=train)
-            if b.stride == 2:
-                features.append(last_x)
+            if in_cells:
+                # /2-res blocks run on the cell grid; the first stride-2
+                # block is the transition (its depthwise conv lands on the
+                # cell grid itself, r_out = 1 -> standard layout out).
+                y = MBConvS2D(b, r_in=2, drop_rate=rate, dtype=self.dtype,
+                              axis_name=self.axis_name,
+                              name=f"block{idx}")(x, train=train)
+                if b.stride == 2:
+                    features.append(depth_to_space(last_x, 2)
+                                    if last_x is not None else None)
+                    in_cells = False
+            else:
+                y = MBConv(b, drop_rate=rate, dtype=self.dtype, axis_name=self.axis_name,
+                           name=f"block{idx}")(x, train=train)
+                if b.stride == 2:
+                    features.append(last_x)
             x = y
             last_x = x
         features.append(x)

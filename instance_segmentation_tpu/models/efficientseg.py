@@ -70,6 +70,11 @@ class EfficientSegConfig:
                            # expanded kernels cost r^2 x FLOPs, a net loss
                            # where layout overhead wasn't dominant), so the
                            # default applies it where it wins.
+    backbone_s2d: Any = False  # False | True | "train": run the backbone's
+                           # stem + /2 MBConv stage on the /4 cell grid
+                           # (models/s2d.py MBConvS2D) — exact, checkpoint-
+                           # identical, near-zero extra FLOPs (1x1 convs stay
+                           # per-phase; only the 3-channel stem pays r^2).
     remat: bool = False   # rematerialize backbone blocks + U-Net stages
                           # (jax.checkpoint): trades ~30% step FLOPs for the
                           # activation memory of the full-res dense decoder —
@@ -111,7 +116,7 @@ class EfficientSeg(nn.Module):
             decoder_cls = nn.remat(UNetDecoder, static_argnums=(3,))
         backbone = backbone_cls(
             variant=BACKBONE_COEF[coef], dtype=dtype, axis_name=c.axis_name,
-            name="backbone")
+            s2d=c.backbone_s2d, name="backbone")
         blocks = backbone(x, train)                  # [P1..P5]
 
         fpn_ch = FPN_FILTERS[coef]

@@ -120,6 +120,76 @@ def _tile_bias(b: jnp.ndarray, r: int) -> jnp.ndarray:
     return jnp.repeat(b, r * r)
 
 
+@lru_cache(maxsize=None)
+def _phase_selector_strided(k: int, r_in: int, stride: int):
+    """S[tap, out_phase, cell, in_phase] selector for a k-tap 1D conv of
+    stride `stride` (TF SAME, input length divisible by stride) viewed on the
+    r_in-cell grid, with the output in s2d(r_out = r_in // stride) on the
+    SAME cell grid. Returns (S, lo, kc): input cell offsets span lo..lo+kc-1
+    (negative lo = left cell padding)."""
+    r_out = r_in // stride
+    assert r_out * stride == r_in
+    pad_lo = max(k - stride, 0) // 2
+    ts = [p * stride + d - pad_lo for p in range(r_out) for d in range(k)]
+    lo = min(t // r_in for t in ts)
+    kc = max(t // r_in for t in ts) - lo + 1
+    s = np.zeros((k, r_out, kc, r_in), np.float32)
+    for p in range(r_out):
+        for d in range(k):
+            t = p * stride + d - pad_lo
+            s[d, p, (t // r_in) - lo, t % r_in] = 1.0
+    return s, lo, kc
+
+
+def s2d_conv_kernel_strided(kernel: jnp.ndarray, r_in: int, stride: int):
+    """[kh, kw, Cin, Cout] full-res TF-SAME conv kernel of stride `stride` ->
+    ([kcy, kcx, Cin*r_in^2, Cout*r_out^2] cell kernel, cell padding spec).
+    The cell conv runs stride 1 on the SAME cell grid; exact."""
+    kh, kw, cin, cout = kernel.shape
+    sy, loy, kcy = _phase_selector_strided(kh, r_in, stride)
+    sx, lox, kcx = _phase_selector_strided(kw, r_in, stride)
+    w = jnp.einsum("abio,apcq,bPdQ->cdiqQopP",
+                   kernel, jnp.asarray(sy), jnp.asarray(sx))
+    r_out = r_in // stride
+    w = w.reshape(kcy, kcx, cin * r_in * r_in, cout * r_out * r_out)
+    padding = ((-loy, kcy - 1 + loy), (-lox, kcx - 1 + lox))
+    return w, padding
+
+
+def s2d_depthwise_kernel(kernel: jnp.ndarray, r_in: int, stride: int):
+    """Depthwise [kh, kw, 1, C] TF-SAME kernel of stride `stride` ->
+    ([kcy, kcx, r_in^2, C*r_out^2] GROUPED cell kernel (feature_group_count
+    C), cell padding). Phase-minor channel layout keeps each channel's r^2
+    phase copies consecutive, which is exactly XLA's grouped-conv contract:
+    group c consumes in-channels [c*r_in^2, (c+1)*r_in^2) and produces
+    out-channels [c*r_out^2, (c+1)*r_out^2)."""
+    kh, kw, _, C = kernel.shape
+    sy, loy, kcy = _phase_selector_strided(kh, r_in, stride)
+    sx, lox, kcx = _phase_selector_strided(kw, r_in, stride)
+    w = jnp.einsum("abc,apeq,bPfQ->efqQcpP",
+                   kernel[:, :, 0, :], jnp.asarray(sy), jnp.asarray(sx))
+    r_out = r_in // stride
+    w = w.reshape(kcy, kcx, r_in * r_in, C * r_out * r_out)
+    padding = ((-loy, kcy - 1 + loy), (-lox, kcx - 1 + lox))
+    return w, padding
+
+
+def phase_pointwise(x: jnp.ndarray, kernel: jnp.ndarray, r: int,
+                    bias: Optional[jnp.ndarray] = None,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """1x1 full-res conv on an s2d(r) tensor: pure channel mixing per
+    (cell, phase). [B,hc,wc,C*r^2] x [1,1,C,D] -> [B,hc,wc,D*r^2]."""
+    b, hc, wc, cr = x.shape
+    r2 = r * r
+    c = cr // r2
+    xr = x.reshape(b, hc, wc, c, r2)
+    y = jnp.einsum("bhwcq,cd->bhwdq", xr.astype(dtype),
+                   kernel[0, 0].astype(dtype))
+    if bias is not None:
+        y = y + bias.astype(y.dtype)[:, None]
+    return y.reshape(b, hc, wc, -1)
+
+
 class _ConvParams(nn.Module):
     """Declares the exact parameters of a flax nn.Conv / nn.ConvTranspose
     (same names, shapes, dtypes, initializers) without its compute, so the
@@ -146,10 +216,12 @@ class _ConvSameParams(nn.Module):
 
     kernel_shape: Tuple[int, ...]
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
-        return _ConvParams(self.kernel_shape, self.features, name="Conv_0")()
+        return _ConvParams(self.kernel_shape, self.features,
+                           use_bias=self.use_bias, name="Conv_0")()
 
 
 class UpConvS2D(nn.Module):
@@ -229,3 +301,132 @@ class HeadS2D(nn.Module):
         y = y + b.astype(y.dtype)[:, None]
         y = y.reshape(bq, hc, wc, self.features * r2)
         return depth_to_space(y, self.r)
+
+
+# ---------------------------------------------------------------------------
+# Early-backbone space-to-depth execution (stem + the /2 MBConv stage)
+# ---------------------------------------------------------------------------
+#
+# EfficientNet's stem and first stage run at /2 resolution with 16-40
+# channels — the backbone's bandwidth hotspot on TPU (lanes pad 3-8x, and
+# every MBConv runs ~6 elementwise BN/swish/SE passes over the padded
+# tensors). Executed on the /4 cell grid in s2d(2) layout the channel counts
+# become 96-160 and, unlike the U-Net's dense 3x3 convs, the FLOP cost of
+# the transform is negligible: 1x1 expand/project convs stay per-phase
+# (phase_pointwise), the depthwise conv becomes a per-channel GROUPED cell
+# conv (r^2 x the tiny depthwise FLOPs), and only the 3-channel stem conv
+# pays the r^2 phase expansion. All transforms are exact; parameter trees
+# match the standard modules (ref models/efficientnet/model.py:17-102).
+
+
+class SqueezeExciteS2D(nn.Module):
+    """SqueezeExcite on an s2d(r) tensor: the global average pools over
+    cells AND the r^2 phase copies of each channel (= the full-res spatial
+    mean, exactly); the tiny reduce/expand 1x1 convs run standard on
+    [B, 1, 1, C]. Parameter-compatible with efficientnet.SqueezeExcite."""
+
+    squeezed: int
+    r: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from instance_segmentation_tpu.models.layers import ConvSame
+        from instance_segmentation_tpu.models.layers import swish
+        b, hc, wc, cr = x.shape
+        r2 = self.r * self.r
+        c = cr // r2
+        s = jnp.mean(x.reshape(b, hc, wc, c, r2), axis=(1, 2, 4),
+                     keepdims=False).reshape(b, 1, 1, c)
+        s = ConvSame(self.squeezed, (1, 1), dtype=self.dtype, name="reduce")(s)
+        s = swish(s)
+        s = ConvSame(c, (1, 1), dtype=self.dtype, name="expand")(s)
+        sig = jnp.asarray(nn.sigmoid(s), x.dtype)
+        return jnp.repeat(sig, r2, axis=-1) * x
+
+
+class MBConvS2D(nn.Module):
+    """MBConv evaluated on the cell grid in s2d(r_in) layout.
+
+    stride 1: s2d(r_in) -> s2d(r_in); stride 2: s2d(r_in) -> s2d(r_in//2)
+    on the SAME cell grid (r_in == stride returns the standard layout — the
+    natural exit back to full-channel execution). Parameter-compatible with
+    efficientnet.MBConv (expand_conv/bn0/depthwise_conv/bn1/se/project_conv/
+    bn2; ref models/efficientnet/model.py:17-102)."""
+
+    args: Any                      # efficientnet.BlockArgs
+    r_in: int
+    drop_rate: float = 0.0
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from instance_segmentation_tpu.models.layers import (
+            BatchNorm, drop_connect, swish)
+        a = self.args
+        r = self.r_in
+        r_out = r // a.stride
+        inputs = x
+        expanded = a.input_filters * a.expand_ratio
+        if a.expand_ratio != 1:
+            k, _ = _ConvSameParams((1, 1, a.input_filters, expanded), expanded,
+                                   use_bias=False, name="expand_conv")()
+            x = phase_pointwise(x, k, r, dtype=self.dtype)
+            x = BatchNorm(axis_name=self.axis_name, phases=r * r,
+                          name="bn0")(x, train=train)
+            x = swish(x)
+        kk = a.kernel_size
+        kd, _ = _ConvSameParams((kk, kk, 1, expanded), expanded,
+                                use_bias=False, name="depthwise_conv")()
+        w, pad = s2d_depthwise_kernel(kd, r, a.stride)
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=expanded,
+            preferred_element_type=self.dtype)
+        x = BatchNorm(axis_name=self.axis_name, phases=r_out * r_out,
+                      name="bn1")(x, train=train)
+        x = swish(x)
+        if a.se_ratio and 0 < a.se_ratio <= 1:
+            if r_out > 1:
+                x = SqueezeExciteS2D(max(1, int(a.input_filters * a.se_ratio)),
+                                     r=r_out, dtype=self.dtype, name="se")(x)
+            else:
+                from instance_segmentation_tpu.models.efficientnet import (
+                    SqueezeExcite)
+                x = SqueezeExcite(max(1, int(a.input_filters * a.se_ratio)),
+                                  dtype=self.dtype, name="se")(x)
+        kp, _ = _ConvSameParams((1, 1, expanded, a.output_filters),
+                                a.output_filters, use_bias=False,
+                                name="project_conv")()
+        x = phase_pointwise(x, kp, r_out, dtype=self.dtype)
+        x = BatchNorm(axis_name=self.axis_name, phases=r_out * r_out,
+                      name="bn2")(x, train=train)
+        if a.id_skip and a.stride == 1 and a.input_filters == a.output_filters:
+            if train and self.drop_rate > 0.0:
+                x = drop_connect(x, self.drop_rate, deterministic=False,
+                                 rng=self.make_rng("dropout"))
+            x = x + inputs
+        return x
+
+
+class StemS2D(nn.Module):
+    """The stride-2 3x3 stem conv on the cell grid: s2d(r_in) of the image ->
+    s2d(r_in//2) of the stem output, same cells. Parameter-compatible with
+    ConvSame(stem_filters, (3,3), strides=(2,2), use_bias=False)."""
+
+    features: int
+    in_features: int = 3
+    r_in: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, _ = _ConvParams((3, 3, self.in_features, self.features),
+                           self.features, use_bias=False, name="Conv_0")()
+        w, pad = s2d_conv_kernel_strided(k, self.r_in, 2)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)

@@ -135,3 +135,57 @@ def test_unet_s2d_train_stats_and_grads_match():
         # paths produce only cancellation noise there, and the noise differs.
         np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
                                    atol=5e-3)
+
+
+def test_backbone_s2d_matches_standard():
+    """Backbone stem + /2 stage in s2d(2): identical parameter tree, equal
+    forward features, equal BN stat updates, close grads (B0 arch)."""
+    from instance_segmentation_tpu.models.efficientnet import (
+        EfficientNetFeatures)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)), jnp.float32)
+    std = EfficientNetFeatures(variant=0, s2d=False)
+    s2d = EfficientNetFeatures(variant=0, s2d=True)
+    key = jax.random.PRNGKey(0)
+    var = std.init({"params": key, "dropout": key}, x, False)
+    var2 = s2d.init({"params": key, "dropout": key}, x, False)
+    jax.tree.map(np.testing.assert_array_equal, var["params"], var2["params"])
+
+    outs_std = std.apply(var, x, False)
+    outs_s2d = s2d.apply(var, x, False)
+    assert len(outs_std) == len(outs_s2d)
+    for a, b in zip(outs_std, outs_s2d):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=1e-4)
+
+    def loss_fn(module, params):
+        def f(p):
+            outs, mut = module.apply(
+                {"params": p, "batch_stats": var["batch_stats"]}, x, True,
+                mutable=["batch_stats"], rngs={"dropout": key})
+            return sum(jnp.sum(o * o) for o in outs), mut["batch_stats"]
+        return jax.value_and_grad(f, has_aux=True)(params)
+
+    (l_std, bs_std), g_std = loss_fn(std, var["params"])
+    (l_s2d, bs_s2d), g_s2d = loss_fn(s2d, var["params"])
+    np.testing.assert_allclose(float(l_s2d), float(l_std), rtol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4), bs_std, bs_s2d)
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_s2d)):
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=5e-3)
+
+
+def test_backbone_s2d_train_mode_gating():
+    from instance_segmentation_tpu.models.efficientnet import (
+        EfficientNetFeatures)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 32, 48, 3)), jnp.float32)
+    gated = EfficientNetFeatures(variant=0, s2d="train")
+    std = EfficientNetFeatures(variant=0, s2d=False)
+    key = jax.random.PRNGKey(0)
+    var = gated.init({"params": key, "dropout": key}, x, False)
+    for a, b in zip(std.apply(var, x, False), gated.apply(var, x, False)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
