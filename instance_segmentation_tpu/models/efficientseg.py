@@ -70,11 +70,13 @@ class EfficientSegConfig:
                            # expanded kernels cost r^2 x FLOPs, a net loss
                            # where layout overhead wasn't dominant), so the
                            # default applies it where it wins.
-    backbone_s2d: Any = False  # False | True | "train": run the backbone's
+    backbone_s2d: Any = "train"  # False | True | "train": run the backbone's
                            # stem + /2 MBConv stage on the /4 cell grid
                            # (models/s2d.py MBConvS2D) — exact, checkpoint-
-                           # identical, near-zero extra FLOPs (1x1 convs stay
-                           # per-phase; only the 3-channel stem pays r^2).
+                           # identical; the depthwise conv runs full-res
+                           # between d2s/s2d (grouped cell convs lose 9x,
+                           # tools/microbench_s2d.py). Measured fwd+bwd b4:
+                           # backbone 71.5 -> 55.9 ms (TPU v5e).
     remat: bool = False   # rematerialize backbone blocks + U-Net stages
                           # (jax.checkpoint): trades ~30% step FLOPs for the
                           # activation memory of the full-res dense decoder —

@@ -379,12 +379,22 @@ class MBConvS2D(nn.Module):
         kk = a.kernel_size
         kd, _ = _ConvSameParams((kk, kk, 1, expanded), expanded,
                                 use_bias=False, name="depthwise_conv")()
-        w, pad = s2d_depthwise_kernel(kd, r, a.stride)
+        # The depthwise conv — the block's only spatial op — runs at FULL
+        # resolution between depth_to_space/space_to_depth. The grouped cell
+        # conv (s2d_depthwise_kernel) is exact but its r^2-sized groups
+        # lower catastrophically on TPU: 94 ms fwd+bwd vs 10 ms for this
+        # roundtrip at B3-stage-2 shapes (tools/microbench_s2d.py). At
+        # stride 2 the full-res conv output IS the target layout (r_out*
+        # stride == r), so the exit to standard execution is free.
+        x = depth_to_space(x, r)
         x = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w.astype(self.dtype), (1, 1), pad,
+            x.astype(self.dtype), kd.astype(self.dtype),
+            (a.stride, a.stride), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=expanded,
             preferred_element_type=self.dtype)
+        if r_out > 1:
+            x = space_to_depth(x, r_out)
         x = BatchNorm(axis_name=self.axis_name, phases=r_out * r_out,
                       name="bn1")(x, train=train)
         x = swish(x)
