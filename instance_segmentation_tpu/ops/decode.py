@@ -314,9 +314,11 @@ def _find_internal_point(pts: jnp.ndarray, n: jnp.ndarray, default: jnp.ndarray,
                          n_pairs: int) -> jnp.ndarray:
     """Internal point for the polar sort (ref find_internal_point :51-68).
 
-    Try the box center, then the member mean, then midpoints of the first
-    `n_pairs` member points (the reference tries all O(n^2) pairs on host; we
-    bound the fallback, which in practice only triggers on degenerate shapes).
+    Try the box center, then the member mean, then midpoints of `n_pairs`
+    member points spread evenly over the member list (the reference tries
+    all O(n^2) pairs on host; we bound the fallback, which in practice only
+    triggers on degenerate shapes — spreading the candidates over the whole
+    perimeter keeps concave shapes covered where a prefix would be colinear).
     `pts` is [Q,2] (x,y) with slots >= n replicated.
     """
     def inside(p):
@@ -325,7 +327,10 @@ def _find_internal_point(pts: jnp.ndarray, n: jnp.ndarray, default: jnp.ndarray,
     mean = jnp.sum(jnp.where(jnp.arange(pts.shape[0])[:, None] < n, pts, 0.0), axis=0) \
         / jnp.clip(n.astype(jnp.float32), 1.0, None)
 
-    cand = pts[:n_pairs]                                       # [P0, 2]
+    span = jnp.clip(n.astype(jnp.float32) - 1.0, 0.0, None)
+    cand_idx = jnp.round(
+        jnp.linspace(0.0, 1.0, n_pairs) * span).astype(jnp.int32)
+    cand = jnp.take(pts, cand_idx, axis=0)                     # [P0, 2]
     mids = (cand[:, None, :] + cand[None, :, :]) / 2.0         # [P0, P0, 2]
     mids = mids.reshape(-1, 2)
     ok = jax.vmap(inside)(mids)

@@ -196,6 +196,50 @@ def test_point_in_polygon_and_area():
     assert float(polygon_area(sq, jnp.int32(4))) == 100.0
 
 
+def test_internal_point_fallback_concave():
+    """U-shape whose box center AND member mean sit in the concavity: the
+    bounded pair-midpoint fallback (ref decode.py:51-68 tries all O(n^2)
+    pairs) must still find a strictly interior point."""
+    from instance_segmentation_tpu.ops.decode import _find_internal_point
+
+    u = np.array([[0, 0], [10, 0], [10, 10], [7, 10], [7, 3],
+                  [3, 3], [3, 10], [0, 10]], np.float32)
+    # densify the perimeter so n >> n_pairs and a prefix window would see
+    # only the (colinear) bottom edge — the spread candidates must cover it
+    dense = []
+    for i in range(len(u)):
+        a, b = u[i], u[(i + 1) % len(u)]
+        for t in np.linspace(0.0, 1.0, 6, endpoint=False):
+            dense.append(a + t * (b - a))
+    pts = np.asarray(dense, np.float32)                       # [48, 2]
+    n = len(pts)
+    Q = 64
+    padded = np.concatenate([pts, np.repeat(pts[:1], Q - n, 0)], 0)
+
+    default = jnp.asarray([5.0, 6.0])                         # in the gap
+    assert not bool(point_in_polygon(default, jnp.asarray(padded)))
+    mean = pts.mean(0)
+    assert not bool(point_in_polygon(jnp.asarray(mean), jnp.asarray(padded)))
+
+    got = jax.jit(lambda p, nn, d: _find_internal_point(p, nn, d, 12))(
+        jnp.asarray(padded), jnp.int32(n), default)
+    assert np.all(np.isfinite(np.asarray(got)))
+    assert bool(point_in_polygon(got, jnp.asarray(padded)))
+
+
+def test_internal_point_fallback_exhausted_degenerate():
+    """All members coincident (zero-area polygon): every candidate fails;
+    the fallback must return the default finitely, not NaN."""
+    from instance_segmentation_tpu.ops.decode import _find_internal_point
+
+    Q = 32
+    padded = np.full((Q, 2), 7.0, np.float32)
+    default = jnp.asarray([3.0, 4.0])
+    got = jax.jit(lambda p, nn, d: _find_internal_point(p, nn, d, 12))(
+        jnp.asarray(padded), jnp.int32(1), default)
+    np.testing.assert_allclose(np.asarray(got), [3.0, 4.0])
+
+
 def test_rasterize_polygon_matches_fillpoly():
     import cv2
     poly_rc = np.array([[3, 4], [3, 20], [15, 24], [18, 6]], np.float32)
