@@ -13,6 +13,8 @@ device is busy (double buffering; the reference used DataLoader workers).
 
 from __future__ import annotations
 
+import multiprocessing as mp
+import os
 import queue
 import threading
 from typing import Iterator, List, Optional
@@ -58,7 +60,7 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool, drop_last: bool,
                  max_instances: int, max_verts: int, with_label: bool = True,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -67,6 +69,8 @@ class BatchLoader:
         self.max_verts = max_verts
         self.with_label = with_label
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -108,6 +112,9 @@ class BatchLoader:
             yield chunk
 
     def __iter__(self) -> Iterator:
+        if self.num_workers > 0:
+            yield from self._iter_pool()
+            return
         if self.prefetch <= 0:
             for idx in self._index_batches():
                 yield self._make_batch(idx)
@@ -130,6 +137,71 @@ class BatchLoader:
             if item is sentinel:
                 break
             yield item
+
+    # -- multi-process loading (the reference trains with torch DataLoader
+    # num_workers>0, ref data/__init__.py:42-64; a thread can't parallelize
+    # PNG decode/augment past the GIL, a fork pool can) ------------------
+
+    def _worker_main(self, wid: int, task_q, result_q):
+        # decorrelate per-sample augmentation RNG across workers (each fork
+        # inherits the same CommonTransforms._rng state)
+        t = getattr(self.dataset, "transforms", None)
+        if t is not None and hasattr(t, "_rng"):
+            t._rng = np.random.default_rng([self._seed, wid])
+        while True:
+            task = task_q.get()
+            if task is None:
+                return
+            bid, idx = task
+            result_q.put((bid, self._make_batch(idx)))
+
+    def _iter_pool(self) -> Iterator:
+        """Ordered multi-process batch loading.
+
+        A fork pool pulls (batch_id, indices) tasks from a shared queue;
+        the parent reorders results so delivery matches the serial order.
+        In-flight depth is num_workers + prefetch (bounded memory).
+        """
+        ctx = mp.get_context("fork")
+        task_q = ctx.Queue()
+        result_q = ctx.Queue()
+        procs = [ctx.Process(target=self._worker_main, args=(w, task_q, result_q),
+                             daemon=True)
+                 for w in range(self.num_workers)]
+        for p in procs:
+            p.start()
+        try:
+            batches = enumerate(self._index_batches())
+            inflight, limit = 0, self.num_workers + max(self.prefetch, 0)
+            buf, next_out, submitted_all = {}, 0, False
+
+            def submit():
+                nonlocal inflight, submitted_all
+                while inflight < limit and not submitted_all:
+                    try:
+                        bid, idx = next(batches)
+                    except StopIteration:
+                        submitted_all = True
+                        return
+                    task_q.put((bid, idx))
+                    inflight += 1
+
+            submit()
+            while inflight > 0 or buf:
+                while next_out not in buf:
+                    bid, batch = result_q.get()
+                    buf[bid] = batch
+                    inflight -= 1
+                    submit()
+                yield buf.pop(next_out)
+                next_out += 1
+        finally:
+            for _ in procs:
+                task_q.put(None)
+            for p in procs:
+                p.join(timeout=5)
+                if p.is_alive():
+                    p.terminate()
 
 
 def device_prefetch(loader, size: int = 2):
@@ -166,13 +238,16 @@ def device_prefetch(loader, size: int = 2):
 def get_dataloader(batch_size: int, dataset_type: str, data_dir: str, phase: str,
                    transforms=None, max_instances: int = 96, max_verts: int = 256,
                    random: bool = True, with_label: bool = True, seed: int = 0,
-                   prefetch: int = 2) -> BatchLoader:
+                   prefetch: int = 2, num_workers: int | None = None) -> BatchLoader:
     builder_cls = datasetBuildersMap[dataset_type]
     builder = builder_cls(data_dir, phase)
     dataset = builder.get_dataset(transforms=transforms)
     train = is_train_phase(phase)
+    if num_workers is None:
+        num_workers = int(os.environ.get("ISEG_DATA_WORKERS", "0"))
     return BatchLoader(
         dataset, batch_size,
         shuffle=train and random, drop_last=train,
         max_instances=max_instances, max_verts=max_verts,
-        with_label=with_label, seed=seed, prefetch=prefetch)
+        with_label=with_label, seed=seed, prefetch=prefetch,
+        num_workers=num_workers)

@@ -94,11 +94,13 @@ class Trainer:
     def make_loaders(self):
         train_tf = CommonTransforms(self.trans_cfg, "train", seed=self.cfg.seed)
         eval_tf = CommonTransforms(self.trans_cfg, "val", seed=self.cfg.seed)
+        # data.num_workers: fork-pool loading (the reference's DataLoader
+        # num_workers, ref data/__init__.py:42-64); default 0 = prefetch thread
         train_loader = data_mod.get_dataloader(
             self.data_cfg.batch_size, self.data_cfg.dataset, self.data_cfg.train_dir,
             phase="train", transforms=train_tf,
             max_instances=self.static.max_instances, max_verts=self.static.max_vertices,
-            seed=self.cfg.seed)
+            seed=self.cfg.seed, num_workers=self.data_cfg.get("num_workers"))
         # in-training eval reads the val split from eval_dir when configured
         # (ref train.py:264-268 / evaluate.py:80 both honour the eval root)
         eval_dir = self.data_cfg.get("eval_dir") or self.data_cfg.train_dir
