@@ -122,7 +122,8 @@ def main():
     COMPOUND = 3
 
     cfg = EfficientSegConfig(num_classes=8, compound_coef=COMPOUND,
-                             compute_dtype=jnp.bfloat16)
+                             compute_dtype=jnp.bfloat16,
+                             quant=os.environ.get("ISEG_BENCH_QUANT", "none"))
     model = EfficientSeg(cfg)
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(

@@ -66,7 +66,8 @@ def main():
 
     model_cfg = EfficientSegConfig(
         num_classes=num_classes, compound_coef=cfg.compound_coef,
-        compute_dtype=jnp.bfloat16)
+        compute_dtype=jnp.bfloat16,
+        quant=(tpu_cfg.get("quant") or "none") if tpu_cfg else "none")
     model = EfficientSeg(model_cfg)
     state = create_train_state(model, jax.random.PRNGKey(cfg.seed),
                                (1, *input_hw, 3), make_optimizer())

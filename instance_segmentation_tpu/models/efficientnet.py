@@ -131,6 +131,7 @@ class MBConv(nn.Module):
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    quant: bool = False   # int8 dense convs (expand/project; SE + depthwise stay float)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -138,7 +139,8 @@ class MBConv(nn.Module):
         inputs = x
         expanded = a.input_filters * a.expand_ratio
         if a.expand_ratio != 1:
-            x = ConvSame(expanded, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv")(x)
+            x = ConvSame(expanded, (1, 1), use_bias=False, dtype=self.dtype,
+                         quant=self.quant, name="expand_conv")(x)
             x = BatchNorm(axis_name=self.axis_name, name="bn0")(x, train=train)
             x = swish(x)
         k = a.kernel_size
@@ -149,7 +151,8 @@ class MBConv(nn.Module):
         if a.se_ratio and 0 < a.se_ratio <= 1:
             x = SqueezeExcite(max(1, int(a.input_filters * a.se_ratio)),
                               dtype=self.dtype, name="se")(x)
-        x = ConvSame(a.output_filters, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv")(x)
+        x = ConvSame(a.output_filters, (1, 1), use_bias=False, dtype=self.dtype,
+                     quant=self.quant, name="project_conv")(x)
         x = BatchNorm(axis_name=self.axis_name, name="bn2")(x, train=train)
         if a.id_skip and a.stride == 1 and a.input_filters == a.output_filters:
             if train and self.drop_rate > 0.0:
@@ -176,6 +179,7 @@ class EfficientNetFeatures(nn.Module):
                               # layout (models/s2d.py MBConvS2D/StemS2D) —
                               # exact, checkpoint-identical; kills the lane
                               # padding of the 16-40-channel /2-res tensors.
+    quant: bool = False       # int8 dense convs (inference path)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
@@ -225,7 +229,7 @@ class EfficientNetFeatures(nn.Module):
                     in_cells = False
             else:
                 y = MBConv(b, drop_rate=rate, dtype=self.dtype, axis_name=self.axis_name,
-                           name=f"block{idx}")(x, train=train)
+                           quant=self.quant, name=f"block{idx}")(x, train=train)
                 if b.stride == 2:
                     features.append(last_x)
             x = y

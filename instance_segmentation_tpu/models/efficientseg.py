@@ -77,6 +77,12 @@ class EfficientSegConfig:
                            # between d2s/s2d (grouped cell convs lose 9x,
                            # tools/microbench_s2d.py). Measured fwd+bwd b4:
                            # backbone 71.5 -> 55.9 ms (TPU v5e).
+    quant: str = "none"   # "none" | "int8": inference-only int8 dense convs
+                          # (backbone expand/project 1x1s + U-Net 3x3s run
+                          # s8 x s8 -> s32 on the MXU with per-channel weight
+                          # and dynamic per-tensor activation scales; heads,
+                          # SE, depthwise and BiFPN stay in compute_dtype).
+                          # Same param tree — any float checkpoint loads.
     remat: bool = False   # rematerialize backbone blocks + U-Net stages
                           # (jax.checkpoint): trades ~30% step FLOPs for the
                           # activation memory of the full-res dense decoder —
@@ -116,9 +122,10 @@ class EfficientSeg(nn.Module):
         if c.remat:
             backbone_cls = nn.remat(EfficientNetFeatures, static_argnums=(2,))
             decoder_cls = nn.remat(UNetDecoder, static_argnums=(3,))
+        quant = (c.quant == "int8") and not train
         backbone = backbone_cls(
             variant=BACKBONE_COEF[coef], dtype=dtype, axis_name=c.axis_name,
-            s2d=c.backbone_s2d, name="backbone")
+            s2d=c.backbone_s2d, quant=quant, name="backbone")
         blocks = backbone(x, train)                  # [P1..P5]
 
         fpn_ch = FPN_FILTERS[coef]
@@ -146,7 +153,7 @@ class EfficientSeg(nn.Module):
         )(feats, train=train)
 
         kp, ae, tan = decoder_cls(
-            dtype=dtype, axis_name=c.axis_name, s2d=c.unet_s2d,
+            dtype=dtype, axis_name=c.axis_name, s2d=c.unet_s2d, quant=quant,
             name="kp_header",
         )(x, blocks, train)
 

@@ -32,11 +32,13 @@ class DoubleConv(nn.Module):
     features: int
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
         for i in range(2):
-            x = ConvSame(self.features, (3, 3), dtype=self.dtype, name=f"conv{i}")(x)
+            x = ConvSame(self.features, (3, 3), dtype=self.dtype,
+                         quant=self.quant, name=f"conv{i}")(x)
             x = BatchNorm(momentum=BN_MOMENTUM_UNET, epsilon=BN_EPS_UNET,
                           axis_name=self.axis_name, name=f"bn{i}")(x, train=train)
             x = nn.relu(x)
@@ -78,6 +80,7 @@ class UNetDecoder(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     s2d: Any = False          # False | True | "train"
+    quant: bool = False       # int8 dense 3x3 convs (heads stay float)
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, blocks: List[jnp.ndarray],
@@ -92,13 +95,14 @@ class UNetDecoder(nn.Module):
             skip = blocks[-(i + 2)]
             x = jnp.concatenate([x, skip], axis=-1)
             x = DoubleConv(ch, dtype=self.dtype, axis_name=self.axis_name,
-                           name=f"double{i + 1}")(x, train=train)
+                           quant=self.quant, name=f"double{i + 1}")(x, train=train)
         if not use_s2d:
             if self.concat_input:
                 x = UpConv(self.input_stage_channels, dtype=self.dtype, name="up_input")(x)
                 x = jnp.concatenate([x, image.astype(x.dtype)], axis=-1)
                 x = DoubleConv(self.input_stage_channels, dtype=self.dtype,
-                               axis_name=self.axis_name, name="double_input")(x, train=train)
+                               axis_name=self.axis_name, quant=self.quant,
+                               name="double_input")(x, train=train)
             outs = []
             for name, ch in self.heads:
                 y = ConvSame(ch, (1, 1), dtype=self.dtype, name=f"head_{name}")(x)

@@ -58,9 +58,12 @@ def main():
     logger = Logger.init_logger(data_cfg.save_dir, run_config=cfg)
 
     num_classes = data_cfg.num_classes
+    tpu_cfg = cfg.get("tpu")
     model_cfg = EfficientSegConfig(num_classes=num_classes,
                                    compound_coef=cfg.compound_coef,
-                                   compute_dtype=jnp.bfloat16)
+                                   compute_dtype=jnp.bfloat16,
+                                   quant=(tpu_cfg.get("quant") or "none")
+                                   if tpu_cfg else "none")
     model = EfficientSeg(model_cfg)
 
     input_hw = (512, 1024)
