@@ -31,7 +31,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit"):
+def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
+         quant_ab: bool = False):
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -78,6 +79,17 @@ def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit"):
     step = make_train_step(model, H, W, max_points=512)
     rng = jax.random.PRNGKey(1)
 
+    ckpt_path = os.path.join(out, "final_params.npz")
+    if steps == 0 and os.path.exists(ckpt_path):
+        # resume the saved capstone weights (e.g. for a quant A/B re-run)
+        import flax
+        with np.load(ckpt_path) as zf:
+            flat = {tuple(k.split("/")): jnp.asarray(v) for k, v in zf.items()}
+        restored = flax.traverse_util.unflatten_dict(flat)
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+        print(f"restored {ckpt_path}")
+
     t0, it = time.time(), 0
     while it < steps:
         for images, packed, infos in loader:
@@ -91,6 +103,15 @@ def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit"):
             if it >= steps:
                 break
 
+    if steps > 0:
+        import flax
+        flat = flax.traverse_util.flatten_dict(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)})
+        np.savez(ckpt_path, **{"/".join(k): np.asarray(v)
+                               for k, v in flat.items()})
+        print(f"saved {ckpt_path}")
+
     eval_loader = get_dataloader(2, "cityscapes", root, "val",
                                  transforms=CommonTransforms(trans, "val", seed=0),
                                  max_instances=16, max_verts=64)
@@ -103,7 +124,25 @@ def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit"):
     _, ap, results = evaluate_model(
         data_cfg, eval_loader, None, model, state, 0, "cityscapes",
         decode_cfg, Logger(save_dir), input_hw=(H, W), orig_hw=(512, 1024))
-    print(json.dumps({"AP": results["AP"], "AP50": results["AP50"]}))
+    out_json = {"AP": results["AP"], "AP50": results["AP50"]}
+
+    if quant_ab:
+        # same trained params through the int8 dense-conv path: the AP delta
+        # IS the quantization cost (params tree is layout-identical)
+        q_model = EfficientSeg(EfficientSegConfig(
+            num_classes=8, compound_coef=0, compute_dtype=jnp.bfloat16,
+            quant="int8"))
+        q_dir = os.path.join(out, "eval_int8")
+        os.makedirs(q_dir, exist_ok=True)
+        q_cfg = Config({"save_dir": q_dir, "num_classes": 8,
+                        "eval_dir": root, "train_dir": root})
+        _, _, q_results = evaluate_model(
+            q_cfg, eval_loader, None, q_model, state, 0, "cityscapes",
+            decode_cfg, Logger(q_dir), input_hw=(H, W), orig_hw=(512, 1024))
+        out_json["AP_int8"] = q_results["AP"]
+        out_json["AP50_int8"] = q_results["AP50"]
+        out_json["dAP_int8"] = q_results["AP"] - results["AP"]
+    print(json.dumps(out_json))
 
 
 if __name__ == "__main__":
@@ -111,5 +150,8 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=2400)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="/tmp/iseg_overfit")
+    ap.add_argument("--quant_ab", action="store_true",
+                    help="after the float eval, re-evaluate the same weights "
+                         "through the int8 inference path and report the AP delta")
     a = ap.parse_args()
-    main(a.steps, a.lr, a.out)
+    main(a.steps, a.lr, a.out, a.quant_ab)
