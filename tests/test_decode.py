@@ -113,6 +113,31 @@ def test_exact_topk_indices():
         assert np.all(np.diff(idx[b]) > 0)
 
 
+def test_exact_topk_degenerate_brackets():
+    """Partition-pass bracketing edge cases: constant rows (step==0 after one
+    pass), k == N, all-negative rows, and +/-inf extremes."""
+    from instance_segmentation_tpu.ops.decode import exact_topk_indices
+    N, k = 1024, 64
+    rows = np.stack([
+        np.full(N, 3.25, np.float32),                       # constant
+        -np.abs(np.random.default_rng(0).normal(size=N)).astype(np.float32),
+        np.linspace(-1e30, 1e30, N, dtype=np.float32),      # huge range
+        np.where(np.arange(N) % 7 == 0, np.float32(np.inf),
+                 np.float32(-np.inf)),                      # inf plateau
+    ])
+    vals, idx = jax.jit(lambda x: exact_topk_indices(x, k))(jnp.asarray(rows))
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for b in range(rows.shape[0]):
+        assert len(set(idx[b].tolist())) == k
+        got = np.sort(rows[b][idx[b]])
+        want = np.sort(np.sort(rows[b])[::-1][:k])
+        np.testing.assert_array_equal(got, want)
+        assert np.all(np.diff(idx[b]) > 0)
+    # k == N: every index, ascending
+    vals, idx = jax.jit(lambda x: exact_topk_indices(x, N))(jnp.asarray(rows))
+    np.testing.assert_array_equal(np.asarray(idx)[0], np.arange(N))
+
+
 def test_render_masks_on_device():
     """End-to-end: decoded polygons rasterize to masks on device that agree
     with cv2.fillPoly of the same polygons."""
