@@ -122,21 +122,48 @@ class BatchLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def worker():
             try:
                 for idx in self._index_batches():
-                    q.put(self._make_batch(idx))
+                    if stop.is_set():
+                        return
+                    item = self._make_batch(idx)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
             finally:
-                q.put(sentinel)
+                # deliver the sentinel unless the consumer already left
+                # (stop set) — then it drains the queue itself
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # consumer abandoned the epoch early (e.g. trainer max_iter):
+            # unblock and join the worker so threads/batches don't accumulate
+            stop.set()
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.05)
 
     # -- multi-process loading (the reference trains with torch DataLoader
     # num_workers>0, ref data/__init__.py:42-64; a thread can't parallelize
@@ -223,16 +250,22 @@ def device_prefetch(loader, size: int = 2):
 
     it = iter(loader)
     try:
-        for _ in range(size):
-            queue.append(put(next(it)))
-    except StopIteration:
-        pass
-    while queue:
-        yield queue.popleft()
         try:
-            queue.append(put(next(it)))
+            for _ in range(size):
+                queue.append(put(next(it)))
         except StopIteration:
             pass
+        while queue:
+            yield queue.popleft()
+            try:
+                queue.append(put(next(it)))
+            except StopIteration:
+                pass
+    finally:
+        # propagate early consumer exit into the loader so its prefetch
+        # worker shuts down instead of leaking (trainer breaks on max_iter)
+        if hasattr(it, "close"):
+            it.close()
 
 
 def get_dataloader(batch_size: int, dataset_type: str, data_dir: str, phase: str,

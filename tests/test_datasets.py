@@ -200,3 +200,20 @@ def test_worker_pool_train_epochs(synth_root):
         images, packed, _ = batches[0]
         assert images.shape == (2, 64, 128, 3)
         assert packed.polys.shape == (2, 8, 32, 2)
+
+
+def test_prefetch_thread_joins_on_early_exit(synth_root):
+    """Abandoning an epoch mid-iteration (trainer max_iter) must shut down
+    the prefetch worker thread instead of leaking one blocked thread (and a
+    buffered batch) per epoch."""
+    import threading
+    from instance_segmentation_tpu.data import get_dataloader
+    tf = CommonTransforms(TRANS, "val", seed=0)
+    loader = get_dataloader(1, "cityscapes", synth_root, "val", transforms=tf,
+                            max_instances=8, max_verts=32, seed=0)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(loader)
+        next(it)          # take one batch, abandon the rest
+        it.close()        # what generator GC does
+    assert threading.active_count() <= before

@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(mode: str, images: int, steps: int, batch: int, compound: int,
-         out: str):
+         out: str, data_only: bool = False):
     os.environ.setdefault("ISEG_JIT_CACHE", "/tmp/iseg_jit_cache")
     import jax
     if os.environ.get("ISEG_PLATFORM"):
@@ -80,6 +80,28 @@ def main(mode: str, images: int, steps: int, batch: int, compound: int,
         loader = get_dataloader(batch, "cityscapes", root, "train",
                                 transforms=CommonTransforms(trans, "train", seed=0),
                                 max_instances=M, max_verts=256, seed=0)
+
+    if data_only:
+        # host-side loader rate in isolation (no device work): measures the
+        # decode/augment/pack ceiling of this host — the data-side bound on
+        # any from-disk train throughput
+        n, t0 = 0, time.time()
+        rounds = 0
+        while n < steps * batch:
+            for images_b, packed_b, _ in loader:
+                n += images_b.shape[0]
+                if n >= steps * batch:
+                    break
+            rounds += 1
+            if rounds > 100:
+                break
+        dt = time.time() - t0
+        print(json.dumps({
+            "mode": mode, "data_only": True,
+            "host_loader_imgs_per_sec": round(n / dt, 3),
+            "batch": batch, "images_seen": n,
+        }))
+        return
 
     model = EfficientSeg(EfficientSegConfig(
         num_classes=8, compound_coef=compound, compute_dtype=jnp.bfloat16))
@@ -145,5 +167,7 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--compound", type=int, default=3)
     ap.add_argument("--out", default="/tmp/iseg_dbench")
+    ap.add_argument("--data_only", action="store_true",
+                    help="measure the host loader rate only (no device work)")
     a = ap.parse_args()
-    main(a.mode, a.images, a.steps, a.batch, a.compound, a.out)
+    main(a.mode, a.images, a.steps, a.batch, a.compound, a.out, a.data_only)
