@@ -132,11 +132,17 @@ def eval_outputs(output_dir: str, eval_loader, model, state, epoch: int,
 def evaluate_from_json(data_cfg, epoch: int, output_dir: str, dataset: str,
                        logger, num_classes: int):
     """Score cached detections. Uses the official cityscapesscripts harness
-    when available; otherwise the native AP implementation."""
+    when available; otherwise the native AP implementation. COCO datasets
+    are scored with the native COCO-protocol evaluator (beyond the
+    reference, which can only evaluate Cityscapes — ref eval_util.py)."""
     with open(os.path.join(output_dir, f"{epoch}_dets.json")) as f:
         dets_list = json.load(f)
     with open(os.path.join(output_dir, f"{epoch}_infos.json")) as f:
         info_list = json.load(f)
+
+    if dataset == "coco":
+        return _evaluate_coco(data_cfg, epoch, output_dir, logger,
+                              num_classes, dets_list, info_list)
 
     predictions: List[InstancePrediction] = []
     ground_truth: List[InstanceGT] = []
@@ -171,6 +177,61 @@ def evaluate_from_json(data_cfg, epoch: int, output_dir: str, dataset: str,
 
     _maybe_official_eval(data_cfg, epoch, output_dir, dataset, logger,
                          dets_list, info_list, num_classes)
+    return results
+
+
+def _evaluate_coco(data_cfg, epoch: int, output_dir: str, logger,
+                   num_classes: int, dets_list, info_list):
+    """Native COCO-protocol mask AP over cached detections. Ground truth
+    comes from the same per-subset instances.json the dataset reads
+    (data/coco.py); predictions are also exported in the standard COCO
+    results-json format for external official scoring."""
+    from instance_segmentation_tpu.data.coco import (
+        convert_cls_id_to_index, parse_segmentation,
+    )
+    from instance_segmentation_tpu.evaluation.coco_ap import (
+        CocoGT, CocoPrediction, compute_coco_ap, write_coco_results,
+    )
+
+    root = data_cfg.get("eval_dir") or data_cfg.get("train_dir")
+    subset = data_cfg.get("subset") or "val"
+    with open(os.path.join(root, subset, "instances.json")) as f:
+        blob = json.load(f)
+    path_of = {im["id"]: os.path.join(root, subset, im["file_name"])
+               for im in blob.get("images", [])}
+
+    wanted = {info[0] for info in info_list}
+    ground_truth = []
+    for ann in blob.get("annotations", []):
+        img_path = path_of.get(ann["image_id"])
+        if img_path not in wanted:
+            continue
+        poly = parse_segmentation(ann)
+        if poly is None or poly.shape[0] <= 2:
+            continue
+        ground_truth.append(CocoGT(
+            image_id=img_path,
+            cls_id=convert_cls_id_to_index(ann["category_id"]),
+            polygon=poly, iscrowd=bool(ann.get("iscrowd", 0)),
+            area=float(ann["area"]) if "area" in ann else None))
+
+    predictions = []
+    image_sizes = {}
+    for dets, info in zip(dets_list, info_list):
+        img_path, img_size = info[0], tuple(info[1])
+        image_sizes[img_path] = img_size
+        for det in dets:
+            cls_id, score, _center, polygon = det
+            predictions.append(CocoPrediction(
+                image_id=img_path, cls_id=int(cls_id), score=float(score),
+                polygon=np.asarray(polygon, np.float32)))
+
+    results = compute_coco_ap(predictions, ground_truth, image_sizes,
+                              num_classes)
+    logger.write(f"[{epoch}] COCO AP={results['AP']:.4f} "
+                 f"AP50={results['AP50']:.4f} AP75={results['AP75']:.4f}")
+    write_coco_results(os.path.join(output_dir, f"{epoch}_coco_results.json"),
+                       dets_list, info_list)
     return results
 
 
