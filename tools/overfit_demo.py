@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
-         quant_ab: bool = False):
+         quant_ab: bool = False, train_n: int = 4, val_n: int = 0):
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -55,12 +55,17 @@ def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
 
     root = os.path.join(out, "data")
     if not os.path.isdir(root):
-        generate(root, splits=(("train", 4),), h=512, w=1024, seed=21,
-                 instances=(2, 4))
-        shutil.copytree(os.path.join(root, "leftImg8bit", "train"),
-                        os.path.join(root, "leftImg8bit", "val"))
-        shutil.copytree(os.path.join(root, "gtFine", "train"),
-                        os.path.join(root, "gtFine", "val"))
+        if val_n > 0:
+            # generalization protocol: disjoint val split (not overfit)
+            generate(root, splits=(("train", train_n), ("val", val_n)),
+                     h=512, w=1024, seed=21, instances=(2, 4))
+        else:
+            generate(root, splits=(("train", train_n),), h=512, w=1024,
+                     seed=21, instances=(2, 4))
+            shutil.copytree(os.path.join(root, "leftImg8bit", "train"),
+                            os.path.join(root, "leftImg8bit", "val"))
+            shutil.copytree(os.path.join(root, "gtFine", "train"),
+                            os.path.join(root, "gtFine", "val"))
 
     trans = Configer({
         "train_trans": {"trans_seq": ["resize"], "resize": {"target_size": 2}},
@@ -150,8 +155,12 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=2400)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="/tmp/iseg_overfit")
+    ap.add_argument("--train_n", type=int, default=4)
+    ap.add_argument("--val_n", type=int, default=0,
+                    help=">0 evaluates on a DISJOINT val split "
+                         "(generalization, not overfit)")
     ap.add_argument("--quant_ab", action="store_true",
                     help="after the float eval, re-evaluate the same weights "
                          "through the int8 inference path and report the AP delta")
     a = ap.parse_args()
-    main(a.steps, a.lr, a.out, a.quant_ab)
+    main(a.steps, a.lr, a.out, a.quant_ab, a.train_n, a.val_n)
