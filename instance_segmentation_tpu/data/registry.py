@@ -169,18 +169,25 @@ class BatchLoader:
     # num_workers>0, ref data/__init__.py:42-64; a thread can't parallelize
     # PNG decode/augment past the GIL, a fork pool can) ------------------
 
-    def _worker_main(self, wid: int, task_q, result_q):
-        # decorrelate per-sample augmentation RNG across workers (each fork
-        # inherits the same CommonTransforms._rng state)
-        t = getattr(self.dataset, "transforms", None)
+    def _worker_main(self, wid: int, epoch: int, task_q, result_q):
+        # decorrelate per-sample augmentation RNG across workers AND epochs
+        # (each fork inherits the same CommonTransforms._rng state; a fresh
+        # pool is forked per epoch, so the seed must mix the epoch counter
+        # or every epoch would replay the same augmentation draws)
+        t = (getattr(self.dataset, "_transforms", None)
+             or getattr(self.dataset, "transforms", None))
         if t is not None and hasattr(t, "_rng"):
-            t._rng = np.random.default_rng([self._seed, wid])
+            t._rng = np.random.default_rng([self._seed, wid, epoch])
         while True:
             task = task_q.get()
             if task is None:
                 return
             bid, idx = task
-            result_q.put((bid, self._make_batch(idx)))
+            try:
+                result_q.put((bid, self._make_batch(idx)))
+            except BaseException as e:  # surface the failure, don't hang
+                result_q.put((bid, ("__worker_error__", repr(e))))
+                raise
 
     def _iter_pool(self) -> Iterator:
         """Ordered multi-process batch loading.
@@ -192,7 +199,9 @@ class BatchLoader:
         ctx = mp.get_context("fork")
         task_q = ctx.Queue()
         result_q = ctx.Queue()
-        procs = [ctx.Process(target=self._worker_main, args=(w, task_q, result_q),
+        self._pool_epoch = getattr(self, "_pool_epoch", -1) + 1
+        procs = [ctx.Process(target=self._worker_main,
+                             args=(w, self._pool_epoch, task_q, result_q),
                              daemon=True)
                  for w in range(self.num_workers)]
         for p in procs:
@@ -216,7 +225,20 @@ class BatchLoader:
             submit()
             while inflight > 0 or buf:
                 while next_out not in buf:
-                    bid, batch = result_q.get()
+                    try:
+                        bid, batch = result_q.get(timeout=10.0)
+                    except queue.Empty:
+                        # a worker that died mid-task (segfault, OOM-kill)
+                        # never posts a result; fail instead of hanging
+                        if any(not p.is_alive() for p in procs):
+                            raise RuntimeError(
+                                "data worker died without delivering its "
+                                "batch (see worker stderr)")
+                        continue
+                    if (isinstance(batch, tuple) and len(batch) == 2
+                            and batch[0] == "__worker_error__"):
+                        raise RuntimeError(
+                            f"data worker failed on batch {bid}: {batch[1]}")
                     buf[bid] = batch
                     inflight -= 1
                     submit()

@@ -74,9 +74,10 @@ class _ImageCatData:
         pm = [_poly_mask(p.polygon, hw) for p in self.preds]
         gm = [_poly_mask(g.polygon, hw) for g in gts]
         self.pred_area = np.array([m.sum() for m in pm], np.float64)
+        gm_area = np.array([m.sum() for m in gm], np.float64)  # mask px (IoU)
         self.gt_area = np.array(
-            [g.area if g.area is not None else float(m.sum())
-             for g, m in zip(gts, gm)], np.float64)
+            [g.area if g.area is not None else a
+             for g, a in zip(gts, gm_area)], np.float64)       # ann area (ignore)
         self.iou = np.zeros((len(pm), len(gm)), np.float64)
         for di, d in enumerate(pm):
             for gi, g in enumerate(gm):
@@ -84,7 +85,7 @@ class _ImageCatData:
                 if gts[gi].iscrowd:
                     union = self.pred_area[di]          # crowd rule
                 else:
-                    union = self.pred_area[di] + g.sum() - inter
+                    union = self.pred_area[di] + gm_area[gi] - inter
                 self.iou[di, gi] = inter / union if union > 0 else 0.0
 
     def evaluate(self, area_rng: Tuple[float, float], max_dets: int,

@@ -123,9 +123,16 @@ class EfficientSeg(nn.Module):
             backbone_cls = nn.remat(EfficientNetFeatures, static_argnums=(2,))
             decoder_cls = nn.remat(UNetDecoder, static_argnums=(3,))
         quant = (c.quant == "int8") and not train
+        # the s2d execution modules run their dense convs as raw einsums and
+        # take no quant flag; int8 inference takes precedence over an
+        # explicit eval-time s2d request so quant configs measure what they
+        # claim (the defaults only apply s2d in training, where quant is
+        # off anyway)
+        backbone_s2d = False if quant else c.backbone_s2d
+        unet_s2d = False if quant else c.unet_s2d
         backbone = backbone_cls(
             variant=BACKBONE_COEF[coef], dtype=dtype, axis_name=c.axis_name,
-            s2d=c.backbone_s2d, quant=quant, name="backbone")
+            s2d=backbone_s2d, quant=quant, name="backbone")
         blocks = backbone(x, train)                  # [P1..P5]
 
         fpn_ch = FPN_FILTERS[coef]
@@ -153,7 +160,7 @@ class EfficientSeg(nn.Module):
         )(feats, train=train)
 
         kp, ae, tan = decoder_cls(
-            dtype=dtype, axis_name=c.axis_name, s2d=c.unet_s2d, quant=quant,
+            dtype=dtype, axis_name=c.axis_name, s2d=unet_s2d, quant=quant,
             name="kp_header",
         )(x, blocks, train)
 

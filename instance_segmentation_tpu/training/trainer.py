@@ -142,8 +142,6 @@ class Trainer:
             msg += (f"|Data {data_time.val:.3f}s({data_time.avg:.3f}s)"
                     f"|Net {batch_time.avg:.3f}s")
             self.logger.write(msg, level=1)
-            if (p_iter + 1) % self.cfg.save_span == 0:
-                self.ckpt.save(self.state, epoch, running.avg, p_iter)
 
         from instance_segmentation_tpu.data.registry import device_prefetch
         pending = None
@@ -157,7 +155,16 @@ class Trainer:
                 step_rng)
             if pending is not None:
                 consume(pending)
-            pending = (iter_id, images.shape[0], stats)
+                pending = None
+            if (iter_id + 1) % self.cfg.save_span == 0:
+                # drain THIS step's stats synchronously before saving, so the
+                # checkpoint is (a) exactly the state after iter_id, not one
+                # step newer, and (b) NaN-gated through this step. Saves are
+                # rare, so the sync stall doesn't affect steady-state.
+                consume((iter_id, images.shape[0], stats))
+                self.ckpt.save(self.state, epoch, running.avg, iter_id)
+            else:
+                pending = (iter_id, images.shape[0], stats)
             batch_time.update(time.time() - last)
             last = time.time()
         if pending is not None:

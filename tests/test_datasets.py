@@ -217,3 +217,49 @@ def test_prefetch_thread_joins_on_early_exit(synth_root):
         next(it)          # take one batch, abandon the rest
         it.close()        # what generator GC does
     assert threading.active_count() <= before
+
+
+def test_worker_pool_crash_raises_not_hangs(synth_root):
+    """A worker whose batch raises must surface a RuntimeError in the parent
+    (round-3 review: a lost task used to hang result_q.get() forever)."""
+    from instance_segmentation_tpu.data import get_dataloader
+    tf = CommonTransforms(TRANS, "val", seed=0)
+    loader = get_dataloader(1, "cityscapes", synth_root, "val", transforms=tf,
+                            max_instances=8, max_verts=32, seed=0,
+                            num_workers=1)
+
+    class Poisoned:
+        def __init__(self, ds):
+            self._ds = ds
+            self._transforms = getattr(ds, "_transforms", None)
+
+        def __len__(self):
+            return len(self._ds)
+
+        def __getitem__(self, i):
+            raise ValueError("corrupt sample")
+
+    loader.dataset = Poisoned(loader.dataset)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader)
+
+
+def test_worker_rng_reseeded_per_worker_and_epoch(synth_root):
+    """_worker_main must actually find the dataset's transform object (the
+    real attribute is `_transforms`) and reseed it from (seed, wid, epoch)."""
+    import multiprocessing as mp
+
+    from instance_segmentation_tpu.data import get_dataloader
+    tf = CommonTransforms(TRANS, "train", seed=0)
+    loader = get_dataloader(2, "cityscapes", synth_root, "train",
+                            transforms=tf, max_instances=8, max_verts=32,
+                            seed=11, num_workers=2)
+    t = loader.dataset._transforms
+    before = t._rng
+    ctx = mp.get_context("fork")
+    tq, rq = ctx.Queue(), ctx.Queue()
+    tq.put(None)
+    loader._worker_main(1, 3, tq, rq)     # runs inline; exits on the None
+    assert t._rng is not before
+    want = np.random.default_rng([11, 1, 3])
+    assert t._rng.bit_generator.state == want.bit_generator.state

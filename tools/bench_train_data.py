@@ -123,12 +123,10 @@ def main(mode: str, images: int, steps: int, batch: int, compound: int,
     force(stats)
 
     done, t0 = 0, time.time()
-    data_wait = 0.0
     stats = None
     while done < steps:
         for images_b, packed_b, _ in device_prefetch(loader):
             rng, k = jax.random.split(rng)
-            td = time.time()
             state, stats = step(state, images_b, packed_b.polys,
                                 packed_b.n_verts, packed_b.cls_ids, k)
             done += 1
