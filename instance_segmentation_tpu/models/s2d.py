@@ -236,7 +236,6 @@ class UpConvS2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        r_in = self.r_out // 2
         k, b = _ConvParams((2, 2, self.in_features, self.features),
                            self.features, name="deconv")()
         w = s2d_upconv_matrix(k, self.r_out)

@@ -402,7 +402,9 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
     # in row-major order (reference member ordering, kp_mask.nonzero() :312).
     # Multi-operand lax.sort carries the coordinates through the sorting
     # network — argsort + take_along_axis pays a 786k-element gather.
-    SHIFT = 1 << 20                                                   # > in_h*in_w
+    SHIFT = in_h * in_w                   # static: rm_key < SHIFT, keys unique
+    assert (D + 1) * SHIFT < 2 ** 31, (
+        f"sort keys overflow int32: {D + 1} objects x {SHIFT} pixels")
     rm_key = kp_rc[..., 0].astype(jnp.int32) * in_w + kp_rc[..., 1].astype(jnp.int32)
     obj = jnp.where(sel, assign.astype(jnp.int32), D)                 # [B,K]
     key = obj * SHIFT + rm_key                                        # unique keys
@@ -427,7 +429,9 @@ def assemble_objects(kp_rc: jnp.ndarray, kp_valid: jnp.ndarray,
     xs = jnp.pad(xs, ((0, 0), (0, Kp - K)))
     ys = jnp.pad(ys, ((0, 0), (0, Kp - K)))
     nbk = Kp // BLK
-    nwin = Q // BLK + 1                                               # Q+128 cols
+    # a run starting at fine <= BLK-1 needs fine + Q slots: ceil((Q+BLK-1)/BLK)
+    # blocks (Q // BLK + 1 only coincides when Q % BLK <= 1, e.g. default 1024)
+    nwin = (Q + 2 * BLK - 2) // BLK
     coarse, fine = starts // BLK, starts % BLK
     blk_idx = jnp.clip(coarse[..., None] + jnp.arange(nwin), 0, nbk - 1)
     blk_idx = blk_idx.reshape(B, D * nwin)[..., None]                 # [B,D*nwin,1]

@@ -385,3 +385,44 @@ def test_decode_output_end_to_end():
         assert p[:, 0].min() >= 2 * x1 - 6 and p[:, 0].max() <= 2 * x2 + 6
         assert p[:, 1].min() >= 2 * y1 - 6 and p[:, 1].max() <= 2 * y2 + 6
         assert lens[d] > 50
+
+
+def test_assemble_objects_nondefault_poly_budget():
+    """Regression (round-3 review): with max_poly % 128 >= 2 the member
+    window under-allocated one 128-block, pulling (0,0) padding into valid
+    vertex slots for runs that start late in a block."""
+    from instance_segmentation_tpu.ops.decode import DecodeConfig, assemble_objects
+
+    H, W = 256, 256
+    Q = 200
+    K = 512
+    # one object whose 300 member keypoints sit on a ring; the sorted run
+    # must start at an arbitrary in-block offset, so precede it with a
+    # second object owning 131 earlier-row keypoints
+    kp_rc = np.zeros((1, K, 2), np.float32)
+    assign = np.zeros((1, K), np.int32)
+    valid = np.zeros((1, K), bool)
+    for i in range(131):                       # object 1: rows 0..
+        kp_rc[0, i] = (i // 16, 16 + i % 16)
+        assign[0, i] = 1
+        valid[0, i] = True
+    ang = np.linspace(0, 2 * np.pi, 301)[:-1]
+    ring = np.stack([120 + 60 * np.sin(ang), 120 + 60 * np.cos(ang)], -1)
+    for i, rc in enumerate(ring):              # object 0: the ring
+        kp_rc[0, 131 + i] = rc
+        assign[0, 131 + i] = 0
+        valid[0, 131 + i] = True
+    boxes = np.array([[[40, 40, 200, 200], [0, 0, 64, 64]]], np.float32)
+    det_valid = np.array([[True, True]])
+    cfg = DecodeConfig(max_poly=Q)
+    polys, poly_len, centers, obj_valid = jax.jit(
+        lambda *a: assemble_objects(*a, 256, 256, 256, 256, 1.0, cfg))(
+        jnp.asarray(kp_rc), jnp.asarray(valid), jnp.asarray(assign),
+        jnp.asarray(boxes), jnp.asarray(det_valid))
+    polys, poly_len = np.asarray(polys), np.asarray(poly_len)
+    n0 = int(poly_len[0, 0])
+    assert n0 == Q                       # 300 members truncated to the budget
+    got = polys[0, 0, :n0]
+    # every emitted vertex must be a real ring member, never (0, 0) padding
+    d = np.abs(got[:, None, :] - ring[None, :, ::-1]).sum(-1).min(1)
+    assert d.max() < 2.0, f"padding leaked into vertices: worst {d.max()}"
