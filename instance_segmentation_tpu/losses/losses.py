@@ -456,6 +456,21 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
     return i_loss, None
 
 
+def _pull_term_one(spatial_emb, sigma, center_emb, inst_valid, kps, val, idx):
+    """Pull/seed term for ONE instance (ref loss.py:307-311): affinity of
+    each boundary sample's embedding to every valid center; L1 between the
+    own-center affinity and the best affinity, summed over valid samples.
+    Shared by the dense pull term and the windowed AE path so the two
+    lowerings cannot drift apart."""
+    e_k = spatial_emb[kps[:, 0], kps[:, 1]]                         # [P,2]
+    s_k = sigma[kps[:, 0], kps[:, 1]]                               # [P,2]
+    d = jnp.exp(-jnp.sum((e_k[:, None, :] - center_emb[None, :, :]) ** 2
+                         * s_k[:, None, :], axis=-1))               # [P,M]
+    d = jnp.where(inst_valid[None, :], d, -jnp.inf)
+    d_max = jnp.max(d, axis=1)                                      # [P]
+    return jnp.sum(jnp.where(val, jnp.abs(d[:, idx] - d_max), 0.0))
+
+
 def _ae_pull_term(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray):
     """Seed/var pull term (ref :307-311): per boundary pixel, L1 between the
     own-center affinity and the best affinity over all centers. Returns
@@ -471,16 +486,8 @@ def _ae_pull_term(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray):
         center_emb = xym[ci, cj]                                    # [M,2]
 
         def per_instance(idx):
-            kps = points[idx]                                       # [P,2]
-            val = pt_valid[idx]
-            e_k = spatial_emb[kps[:, 0], kps[:, 1]]                 # [P,2]
-            s_k = sigma[kps[:, 0], kps[:, 1]]                       # [P,2]
-            d = jnp.exp(-jnp.sum((e_k[:, None, :] - center_emb[None, :, :]) ** 2
-                                 * s_k[:, None, :], axis=-1))       # [P,M]
-            d = jnp.where(inst_valid[None, :], d, -jnp.inf)
-            d_max = jnp.max(d, axis=1)
-            d_own = d[:, idx]
-            v = jnp.sum(jnp.where(val, jnp.abs(d_own - d_max), 0.0))
+            v = _pull_term_one(spatial_emb, sigma, center_emb,
+                               inst_valid, points[idx], pt_valid[idx], idx)
             return v * inst_valid[idx].astype(jnp.float32)
 
         return jax.vmap(per_instance)(jnp.arange(points.shape[0]))
@@ -553,18 +560,15 @@ def _ae_loss_windowed(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
             rb = jnp.stack([jnp.clip(rb[0], 0, H), jnp.clip(rb[1], 0, W)])
             c_emb = center_emb[idx]                                       # [2]
 
-            if cfg.ae_window is None:
-                wh_, ww_ = H, W
-                origin = jnp.zeros((2,), jnp.int32)
-                emb_w, sig_w = spatial_emb, sigma
-            else:
-                wh_, ww_ = cfg.ae_window
-                origin = jnp.clip(centers_int[idx] - jnp.array([wh_ // 2, ww_ // 2]),
-                                  0, jnp.array([H - wh_, W - ww_]))
-                emb_w = jax.lax.dynamic_slice(
-                    spatial_emb, (origin[0], origin[1], 0), (wh_, ww_, 2))
-                sig_w = jax.lax.dynamic_slice(
-                    sigma, (origin[0], origin[1], 0), (wh_, ww_, 2))
+            # ae_loss dispatches ae_window=None to the dense path, so the
+            # window extent is always set here
+            wh_, ww_ = cfg.ae_window
+            origin = jnp.clip(centers_int[idx] - jnp.array([wh_ // 2, ww_ // 2]),
+                              0, jnp.array([H - wh_, W - ww_]))
+            emb_w = jax.lax.dynamic_slice(
+                spatial_emb, (origin[0], origin[1], 0), (wh_, ww_, 2))
+            sig_w = jax.lax.dynamic_slice(
+                sigma, (origin[0], origin[1], 0), (wh_, ww_, 2))
 
             rows = jnp.arange(wh_)[:, None] + origin[0]
             cols = jnp.arange(ww_)[None, :] + origin[1]
@@ -579,17 +583,8 @@ def _ae_loss_windowed(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
             tgt = gaussian_window_target(kps_rel, val_in, wh_, ww_)
             i_loss = focal_heatmap_loss(pred, tgt, window=window)
 
-            # pull/seed term (ref :307-311): distance of each boundary
-            # pixel's embedding to every center; L1 between own-center
-            # affinity and best affinity, summed over pixels.
-            e_k = spatial_emb[kps[:, 0], kps[:, 1]]                       # [P,2]
-            s_k = sigma[kps[:, 0], kps[:, 1]]                             # [P,2]
-            d = jnp.exp(-jnp.sum((e_k[:, None, :] - center_emb[None, :, :]) ** 2
-                                 * s_k[:, None, :], axis=-1))             # [P,M]
-            d = jnp.where(inst_valid[None, :], d, -jnp.inf)
-            d_max = jnp.max(d, axis=1)                                    # [P]
-            d_own = d[:, idx]
-            v_loss = jnp.sum(jnp.where(val, jnp.abs(d_own - d_max), 0.0))
+            v_loss = _pull_term_one(spatial_emb, sigma, center_emb,
+                                    inst_valid, kps, val, idx)
             return i_loss * valid_f, v_loss * valid_f
 
         i_losses, v_losses = jax.vmap(per_instance)(jnp.arange(points.shape[0]))

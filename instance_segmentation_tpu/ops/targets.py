@@ -45,9 +45,12 @@ class Targets(NamedTuple):
     kp_tgt: jnp.ndarray       # [B, H, W] float32 binary
 
 
-def _sample_one_polygon(poly: jnp.ndarray, n_verts: jnp.ndarray,
+def _sample_one_polygon(poly: jnp.ndarray,
                         max_points: int, h: int, w: int):
-    """Dense boundary sampling of one replication-padded polygon.
+    """Dense boundary sampling of one REPLICATION-PADDED polygon (padded
+    edges are zero-length and emit no samples, so no vertex count is
+    needed; zero-padded polygons would emit phantom edges — pack with
+    pack_batch/pack_polygon).
 
     Reproduces ref target_generator.py:235-271: walk each edge in steps of 2
     pixels of max-norm distance, emitting the integer point and the edge's
@@ -131,8 +134,8 @@ def generate_targets(polys: jnp.ndarray, n_verts: jnp.ndarray, cls_ids: jnp.ndar
     centers = jnp.stack([(ymin + ymax) / 2.0, (xmin + xmax) / 2.0], axis=-1)  # [B,M,2]
 
     sample = jax.vmap(jax.vmap(
-        lambda p, n: _sample_one_polygon(p, n, max_points, h, w)))
-    points, normals, pt_valid = sample(polys, n_verts)
+        lambda p: _sample_one_polygon(p, max_points, h, w)))
+    points, normals, pt_valid = sample(polys)
     pt_valid = pt_valid & inst_valid[..., None]
 
     # binary boundary mask: scatter 1s at all valid sample pixels

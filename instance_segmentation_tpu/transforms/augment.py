@@ -151,6 +151,8 @@ class Resize:
 
 
 class RandomHFlip:
+    # swap_pair is accepted and discarded exactly like the reference, whose
+    # RandomHFlip stores it but never reads it (ref :130-148)
     def __init__(self, ratio=0.5, swap_pair=None):
         self.ratio = ratio
 
@@ -237,6 +239,9 @@ class RandomPerm:
 
 
 class Padding:
+    # the (104,117,123) fill is the reference's BGR-ordered constant applied
+    # to RGB images — a reference quirk reproduced for parity (the ref also
+    # converts to RGB before augmenting, image.py:97-103)
     def __init__(self, ratio=0.5, pad=(0, 0, 0, 0), mean=(104, 117, 123),
                  allow_outside_center=True):
         self.ratio, self.pad, self.mean = ratio, pad, mean
@@ -480,6 +485,9 @@ class CommonTransforms:
         if "resize" in seq:
             scale = self.configer.get("val_trans", "resize")["target_size"]
             h, w = info.img_size
+            # round() here vs int() truncation in Resize is a REFERENCE
+            # quirk reproduced verbatim (ref tranform.py:167 rounds, ref
+            # Resize :472 truncates); they only differ for odd dimensions
             tw, th = int(round(w / scale)), int(round(h / scale))
             mat = _scale_affine((th, tw), (w, h))
             xy = _affine_points(xy, mat, (w, h))
