@@ -70,6 +70,10 @@ class BiFPNCell(nn.Module):
 
         if self.first_time:
             p3, p4, p5 = feats
+            got = tuple(f.shape[-1] for f in feats)
+            assert got == tuple(self.conv_channels), (
+                f"backbone P3..P5 channels {got} != scaling-table "
+                f"conv_channels {tuple(self.conv_channels)}")
             p6_in = max_pool_same(dc("p5_to_p6")(p5, train))
             p7_in = max_pool_same(p6_in)
             p8_in = max_pool_same(p7_in) if self.use_p8 else None

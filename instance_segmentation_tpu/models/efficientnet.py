@@ -140,7 +140,7 @@ class MBConv(nn.Module):
         expanded = a.input_filters * a.expand_ratio
         if a.expand_ratio != 1:
             x = ConvSame(expanded, (1, 1), use_bias=False, dtype=self.dtype,
-                         quant=self.quant, name="expand_conv")(x)
+                         quant=self.quant and not train, name="expand_conv")(x)
             x = BatchNorm(axis_name=self.axis_name, name="bn0")(x, train=train)
             x = swish(x)
         k = a.kernel_size
@@ -152,7 +152,7 @@ class MBConv(nn.Module):
             x = SqueezeExcite(max(1, int(a.input_filters * a.se_ratio)),
                               dtype=self.dtype, name="se")(x)
         x = ConvSame(a.output_filters, (1, 1), use_bias=False, dtype=self.dtype,
-                     quant=self.quant, name="project_conv")(x)
+                     quant=self.quant and not train, name="project_conv")(x)
         x = BatchNorm(axis_name=self.axis_name, name="bn2")(x, train=train)
         if a.id_skip and a.stride == 1 and a.input_filters == a.output_filters:
             if train and self.drop_rate > 0.0:

@@ -115,9 +115,12 @@ def _bn_train_bwd(eps, phases, res, cts):
         n *= d
     inv_n = 1.0 / n
 
-    # pass 1: fused pair of f32-accumulating reductions over (gy, gy*x)
+    # pass 1: fused pair of f32-accumulating reductions over (gy, gy*x).
+    # The product must be taken in f32 (a bf16 multiply would round to 8
+    # mantissa bits before accumulation); XLA still fuses this into one
+    # bf16-read / f32-accumulate pass.
     sg = jnp.sum(gy, axis=axes, dtype=jnp.float32)
-    sgx = jnp.sum((gy * x).astype(jnp.float32), axis=axes)
+    sgx = jnp.sum(gy.astype(jnp.float32) * x.astype(jnp.float32), axis=axes)
     if phases > 1:
         sg = sg.reshape(-1, phases).sum(axis=1)
         sgx = sgx.reshape(-1, phases).sum(axis=1)

@@ -38,7 +38,7 @@ class DoubleConv(nn.Module):
     def __call__(self, x, train=False):
         for i in range(2):
             x = ConvSame(self.features, (3, 3), dtype=self.dtype,
-                         quant=self.quant, name=f"conv{i}")(x)
+                         quant=self.quant and not train, name=f"conv{i}")(x)
             x = BatchNorm(momentum=BN_MOMENTUM_UNET, epsilon=BN_EPS_UNET,
                           axis_name=self.axis_name, name=f"bn{i}")(x, train=train)
             x = nn.relu(x)

@@ -23,21 +23,36 @@ def maybe_initialize_multihost() -> bool:
     """
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     n_proc = os.environ.get("JAX_NUM_PROCESSES")
-    if not coord or not n_proc:
-        return False
-    import jax
+    if coord and n_proc:
+        import jax
 
-    jax.distributed.initialize(
-        coordinator_address=coord,
-        num_processes=int(n_proc),
-        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
-    )
-    return True
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(n_proc),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+        return True
+    # TPU pod runtime: the worker hostnames list has >1 entry only on a
+    # multi-host slice, where an argless initialize() auto-discovers the
+    # coordinator. Without this, a standard pod launch would silently train
+    # one independent model per host.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if "," in hostnames:
+        import jax
+
+        jax.distributed.initialize()
+        return True
+    return False
 
 
 def process_batch_slice(global_batch: int):
     """(start, size) of this process's share of a globally-sharded batch."""
     import jax
 
-    per = global_batch // jax.process_count()
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} is not divisible by "
+            f"{n} processes; images would be silently dropped")
+    per = global_batch // n
     return jax.process_index() * per, per

@@ -107,7 +107,7 @@ def make_train_step(model: EfficientSeg, h: int, w: int,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model: EfficientSeg, h: int, w: int) -> Callable:
+def make_eval_step(model: EfficientSeg) -> Callable:
     """Jitted inference forward: images -> (kp, ae, tan, regression, cls)."""
 
     def step(params, batch_stats, images):
