@@ -161,6 +161,18 @@ class CityscapesDataset:
             os.path.join(dp, f)
             for dp, _, fn in os.walk(os.path.expanduser(self.labels_root))
             for f in fn if is_label_file(f))
+        # the two sorted walks are paired by index: verify the pairing by
+        # basename stem so one missing/extra file can't silently shift every
+        # subsequent sample onto the wrong label
+        if len(self.filenames) != len(self.filenames_gt):
+            raise ValueError(
+                f"{self.images_root}: {len(self.filenames)} images vs "
+                f"{len(self.filenames_gt)} label files")
+        for img, gt in zip(self.filenames, self.filenames_gt):
+            istem = os.path.basename(img).split("_leftImg8bit")[0]
+            gstem = os.path.basename(gt).split("_gtFine")[0].split("_fill")[0]
+            if istem != gstem:
+                raise ValueError(f"image/label mismatch: {img} vs {gt}")
         self._transforms = transforms
 
     def __len__(self) -> int:

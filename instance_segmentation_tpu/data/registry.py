@@ -123,28 +123,31 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         stop = threading.Event()
+        failure: List[BaseException] = []
+
+        def put_stop_aware(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for idx in self._index_batches():
                     if stop.is_set():
                         return
-                    item = self._make_batch(idx)
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.2)
-                            break
-                        except queue.Full:
-                            continue
+                    if not put_stop_aware(self._make_batch(idx)):
+                        return
+            except BaseException as e:
+                # a raising batch must fail the epoch, not end it early: a
+                # swallowed error here would truncate eval sweeps silently
+                # (and the {epoch}_dets.json cache would pin the truncation)
+                failure.append(e)
             finally:
-                # deliver the sentinel unless the consumer already left
-                # (stop set) — then it drains the queue itself
-                while not stop.is_set():
-                    try:
-                        q.put(sentinel, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
+                put_stop_aware(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -152,6 +155,9 @@ class BatchLoader:
             while True:
                 item = q.get()
                 if item is sentinel:
+                    if failure:
+                        raise RuntimeError(
+                            "data prefetch worker failed") from failure[0]
                     break
                 yield item
         finally:

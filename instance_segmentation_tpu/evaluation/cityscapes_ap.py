@@ -29,8 +29,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import cv2
 import numpy as np
+
+from instance_segmentation_tpu.utils.image import poly_to_mask
 
 OVERLAPS = tuple(np.arange(0.5, 1.0, 0.05))
 MIN_REGION_SIZE = 100      # official args.minRegionSizes[0] for Cityscapes
@@ -53,9 +54,9 @@ class InstanceGT:
 
 
 def _poly_mask(poly: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
-    mask = np.zeros(hw, np.uint8)
-    cv2.fillPoly(mask, [np.asarray(poly, np.float32).astype(np.int32)], 1)
-    return mask
+    # single shared rasterizer (utils/image.py poly_to_mask) so eval and
+    # loss-side rasterization cannot drift
+    return poly_to_mask(np.asarray(poly, np.float32), hw).astype(np.uint8)
 
 
 class _ImageClassData:
@@ -158,7 +159,13 @@ def compute_instance_ap(predictions: Sequence[InstancePrediction],
     per_class: Dict[int, Dict[str, float]] = {}
     ap_means, ap50s = [], []
     for c in range(num_classes):
-        have_gt = any(k[1] == c and v for k, v in gts_by.items())
+        # official haveGt counts ELIGIBLE instances (non-group and >=
+        # minRegionSize): a class whose only ground truth is group regions
+        # or tiny instances is excluded from the mean (NaN in the official
+        # script), not averaged in as 0
+        have_gt = any(
+            key[1] == c and not g.is_group and d.gt_px[gi] >= min_region_size
+            for key, d in data.items() for gi, g in enumerate(d.gts))
         if not have_gt:
             continue
         aps = []

@@ -27,8 +27,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import cv2
 import numpy as np
+
+from instance_segmentation_tpu.utils.image import poly_to_mask
 
 IOU_THRS = tuple(np.round(np.linspace(0.5, 0.95, 10), 2))
 REC_THRS = np.linspace(0.0, 1.0, 101)
@@ -52,15 +53,52 @@ class CocoPrediction:
 class CocoGT:
     image_id: str
     cls_id: int
-    polygon: np.ndarray          # [n, 2] (x, y)
+    polygon: Optional[np.ndarray] = None   # [n, 2] (x, y); OR a mask:
     iscrowd: bool = False
     area: Optional[float] = None  # annotation area; mask area when absent
+    mask: Optional[np.ndarray] = None      # [h, w] bool (RLE annotations)
 
 
 def _poly_mask(poly: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
-    mask = np.zeros(hw, np.uint8)
-    cv2.fillPoly(mask, [np.asarray(poly, np.float32).astype(np.int32)], 1)
-    return mask.astype(bool)
+    return poly_to_mask(np.asarray(poly, np.float32), hw).astype(bool)
+
+
+def rle_to_mask(segm: dict) -> np.ndarray:
+    """Decode a COCO RLE segmentation (compressed string or uncompressed
+    counts list) to an [h, w] bool mask. iscrowd annotations are always RLE
+    in COCO, so scoring their ignore semantics requires this decoder; the
+    string format follows pycocotools rleFrString (5-bit chars offset by 48,
+    continuation bit 0x20, sign-extension bit 0x10, delta from counts[i-2]),
+    runs alternate 0/1 in column-major order."""
+    h, w = segm["size"]
+    counts = segm["counts"]
+    if isinstance(counts, (bytes, str)):
+        if isinstance(counts, bytes):
+            counts = counts.decode("ascii")
+        vals = []
+        p = 0
+        while p < len(counts):
+            x, k, more = 0, 0, True
+            while more:
+                c = ord(counts[p]) - 48
+                x |= (c & 0x1F) << (5 * k)
+                more = bool(c & 0x20)
+                p += 1
+                k += 1
+                if not more and (c & 0x10):
+                    x |= -1 << (5 * k)
+            if len(vals) > 2:
+                x += vals[-2]
+            vals.append(x)
+        counts = vals
+    flat = np.zeros(h * w, bool)
+    pos, val = 0, False
+    for run in counts:
+        if val:
+            flat[pos:pos + run] = True
+        pos += run
+        val = not val
+    return flat.reshape(w, h).T        # column-major
 
 
 class _ImageCatData:
@@ -72,7 +110,8 @@ class _ImageCatData:
         self.preds = sorted(preds, key=lambda p: -p.score)
         self.gts = gts
         pm = [_poly_mask(p.polygon, hw) for p in self.preds]
-        gm = [_poly_mask(g.polygon, hw) for g in gts]
+        gm = [g.mask if g.mask is not None else _poly_mask(g.polygon, hw)
+              for g in gts]
         self.pred_area = np.array([m.sum() for m in pm], np.float64)
         gm_area = np.array([m.sum() for m in gm], np.float64)  # mask px (IoU)
         self.gt_area = np.array(

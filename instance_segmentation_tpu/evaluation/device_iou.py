@@ -47,9 +47,8 @@ def iou_matrix(dets: Detections, gt_polys: jnp.ndarray, gt_cls: jnp.ndarray,
     """
     h, w = orig_h // res_divisor, orig_w // res_divisor
     pred = render_masks(
-        Detections(*(dets._replace(
-            polygons=dets.polygons / res_divisor,
-            centers=dets.centers / res_divisor))),
+        dets._replace(polygons=dets.polygons / res_divisor,
+                      centers=dets.centers / res_divisor),
         h, w, max_masks=max_masks)                              # [B,D',h,w]
     gt = gt_masks_from_packed(gt_polys, gt_cls, h, w,
                               scale=label_scale / res_divisor)  # [B,M,h,w]

@@ -130,11 +130,13 @@ def eval_outputs(output_dir: str, eval_loader, model, state, epoch: int,
 
 
 def evaluate_from_json(data_cfg, epoch: int, output_dir: str, dataset: str,
-                       logger, num_classes: int):
+                       logger, num_classes: int,
+                       orig_hw: Tuple[int, int] = (1024, 2048)):
     """Score cached detections. Uses the official cityscapesscripts harness
     when available; otherwise the native AP implementation. COCO datasets
     are scored with the native COCO-protocol evaluator (beyond the
-    reference, which can only evaluate Cityscapes — ref eval_util.py)."""
+    reference, which can only evaluate Cityscapes — ref eval_util.py).
+    orig_hw is the frame the decode detransformed into (eval_outputs)."""
     with open(os.path.join(output_dir, f"{epoch}_dets.json")) as f:
         dets_list = json.load(f)
     with open(os.path.join(output_dir, f"{epoch}_infos.json")) as f:
@@ -142,7 +144,7 @@ def evaluate_from_json(data_cfg, epoch: int, output_dir: str, dataset: str,
 
     if dataset == "coco":
         return _evaluate_coco(data_cfg, epoch, output_dir, logger,
-                              num_classes, dets_list, info_list)
+                              num_classes, dets_list, info_list, orig_hw)
 
     predictions: List[InstancePrediction] = []
     ground_truth: List[InstanceGT] = []
@@ -181,16 +183,19 @@ def evaluate_from_json(data_cfg, epoch: int, output_dir: str, dataset: str,
 
 
 def _evaluate_coco(data_cfg, epoch: int, output_dir: str, logger,
-                   num_classes: int, dets_list, info_list):
+                   num_classes: int, dets_list, info_list,
+                   orig_hw: Tuple[int, int] = (1024, 2048)):
     """Native COCO-protocol mask AP over cached detections. Ground truth
     comes from the same per-subset instances.json the dataset reads
-    (data/coco.py); predictions are also exported in the standard COCO
+    (data/coco.py); iscrowd RLE annotations are decoded to ignore masks
+    (rle_to_mask). Predictions are also exported in the standard COCO
     results-json format for external official scoring."""
     from instance_segmentation_tpu.data.coco import (
         convert_cls_id_to_index, parse_segmentation,
     )
     from instance_segmentation_tpu.evaluation.coco_ap import (
-        CocoGT, CocoPrediction, compute_coco_ap, write_coco_results,
+        CocoGT, CocoPrediction, compute_coco_ap, rle_to_mask,
+        write_coco_results,
     )
 
     root = data_cfg.get("eval_dir") or data_cfg.get("train_dir")
@@ -206,25 +211,39 @@ def _evaluate_coco(data_cfg, epoch: int, output_dir: str, logger,
         img_path = path_of.get(ann["image_id"])
         if img_path not in wanted:
             continue
+        cls_id = convert_cls_id_to_index(ann["category_id"])
+        area = float(ann["area"]) if "area" in ann else None
+        crowd = bool(ann.get("iscrowd", 0))
         poly = parse_segmentation(ann)
-        if poly is None or poly.shape[0] <= 2:
-            continue
-        ground_truth.append(CocoGT(
-            image_id=img_path,
-            cls_id=convert_cls_id_to_index(ann["category_id"]),
-            polygon=poly, iscrowd=bool(ann.get("iscrowd", 0)),
-            area=float(ann["area"]) if "area" in ann else None))
+        if poly is not None and poly.shape[0] > 2:
+            ground_truth.append(CocoGT(
+                image_id=img_path, cls_id=cls_id, polygon=poly,
+                iscrowd=crowd, area=area))
+        elif isinstance(ann.get("segmentation"), dict):
+            # RLE annotation (iscrowd regions always are): decoded so the
+            # crowd-ignore semantics actually apply at scoring time
+            ground_truth.append(CocoGT(
+                image_id=img_path, cls_id=cls_id,
+                mask=rle_to_mask(ann["segmentation"]),
+                iscrowd=crowd, area=area))
 
+    # detections were detransformed into the fixed orig_hw decode frame
+    # (eval_outputs); COCO images have per-image sizes, so map each polygon
+    # corner-to-corner from that frame into its image's true frame
     predictions = []
     image_sizes = {}
     for dets, info in zip(dets_list, info_list):
         img_path, img_size = info[0], tuple(info[1])
         image_sizes[img_path] = img_size
+        fx = (img_size[1] - 1) / max(orig_hw[1] - 1, 1)
+        fy = (img_size[0] - 1) / max(orig_hw[0] - 1, 1)
         for det in dets:
             cls_id, score, _center, polygon = det
+            poly = np.asarray(polygon, np.float32) * np.array(
+                [fx, fy], np.float32)
             predictions.append(CocoPrediction(
                 image_id=img_path, cls_id=int(cls_id), score=float(score),
-                polygon=np.asarray(polygon, np.float32)))
+                polygon=poly))
 
     results = compute_coco_ap(predictions, ground_truth, image_sizes,
                               num_classes)
@@ -257,8 +276,9 @@ def write_official_results(output_dir, dataset, dets_list, info_list,
                     cls_id, score, _c, polygon = det
                     if int(cls_id) != j:
                         continue
-                    mask = np.zeros(img_size, np.uint8)
-                    cv2.fillPoly(mask, [np.asarray(polygon, np.float32).astype(np.int32)], 1)
+                    from instance_segmentation_tpu.utils.image import poly_to_mask
+                    mask = poly_to_mask(
+                        np.asarray(polygon, np.float32), img_size).astype(np.uint8)
                     png = os.path.join("results", f"{base}_{label_names[j]}_{k}.png")
                     fid.write(f"{png} {label_ids[j]} {score}\n")
                     cv2.imwrite(os.path.join(output_dir, png), mask * 255)
@@ -295,5 +315,5 @@ def evaluate_model(data_cfg, eval_loader, transforms, model, state, epoch: int,
     eval_outputs(out_dir, eval_loader, model, state, epoch, decode_cfg, logger,
                  input_hw, orig_hw)
     results = evaluate_from_json(data_cfg, epoch, out_dir, dataset, logger,
-                                 num_classes)
+                                 num_classes, orig_hw=orig_hw)
     return epoch, results["AP"], results

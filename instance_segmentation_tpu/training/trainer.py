@@ -162,7 +162,7 @@ class Trainer:
                 # step newer, and (b) NaN-gated through this step. Saves are
                 # rare, so the sync stall doesn't affect steady-state.
                 consume((iter_id, images.shape[0], stats))
-                self.ckpt.save(self.state, epoch, running.avg, iter_id)
+                self.ckpt.save(self.state, epoch, self.best_ap, iter_id)
             else:
                 pending = (iter_id, images.shape[0], stats)
             batch_time.update(time.time() - last)

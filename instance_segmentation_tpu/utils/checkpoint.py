@@ -50,13 +50,27 @@ class CheckpointManager:
         self._ckptr.wait_until_finished()
 
     def list_checkpoints(self):
+        """Checkpoint names in TRAINING order (oldest first).
+
+        Epoch saves (8-digit) and mid-epoch iter saves (4+4-digit) interleave;
+        plain lexicographic order would rank every iter save after every
+        epoch save ('0007_0999' > '00000007'), so a resume would silently
+        discard the end-of-epoch state. Sort by (epoch, iter) with the
+        end-of-epoch save ranked after any iter save of the same epoch.
+        """
         out = []
         if not os.path.isdir(self.save_dir):
             return out
         for name in os.listdir(self.save_dir):
             if _NAME_RE.match(name) and os.path.isdir(os.path.join(self.save_dir, name)):
                 out.append(name)
-        return sorted(out)
+
+        def key(name):
+            m = _NAME_RE.match(name)
+            if m.group(1) is not None:                  # epoch save
+                return (int(m.group(1)), float("inf"))
+            return (int(m.group(2)), int(m.group(3)))   # iter save
+        return sorted(out, key=key)
 
     def restore_latest(self, state_template: Any) -> Tuple[Any, int, float]:
         """Restore the latest checkpoint into the template's structure.

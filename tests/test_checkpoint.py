@@ -59,3 +59,20 @@ def test_weights_path_resolution(tmp_path):
     st, _, _ = mgr2.restore_named(os.path.basename(weights_path), _state(0))
     assert float(st.params["w"][0, 0]) == 7.0
     assert "not_a_ckpt" not in mgr2.list_checkpoints()
+
+
+def test_list_checkpoints_orders_iter_before_epoch(tmp_path):
+    """Regression: lexicographic ordering ranked every 4+4-digit iter save
+    ('0007_0999') after every 8-digit epoch save ('00000007'), so resume
+    discarded end-of-epoch state. Training order is (epoch, iter) with the
+    epoch save last within its epoch."""
+    from instance_segmentation_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path))
+    for name in ("efficient_weights_00000007", "efficient_weights_0007_0999",
+                 "efficient_weights_0006_0999", "efficient_weights_00000006",
+                 "efficient_weights_0008_0099"):
+        (tmp_path / name).mkdir()
+    assert mgr.list_checkpoints() == [
+        "efficient_weights_0006_0999", "efficient_weights_00000006",
+        "efficient_weights_0007_0999", "efficient_weights_00000007",
+        "efficient_weights_0008_0099"]

@@ -152,10 +152,92 @@ def test_eval_loop_coco_dispatch(tmp_path):
 
     cfg = Config({"eval_dir": str(root), "subset": "val", "num_classes": 80,
                   "save_dir": str(out)})
-    results = evaluate_from_json(cfg, 0, str(out), "coco", Logger(str(out)), 80)
+    results = evaluate_from_json(cfg, 0, str(out), "coco", Logger(str(out)), 80,
+                                 orig_hw=(64, 64))
     assert results["AP"] == pytest.approx(1.0)
     res_path = out / "0_coco_results.json"
     assert res_path.exists()
     with open(res_path) as f:
         written = json.load(f)
     assert written[0]["image_id"] == 17 and written[0]["category_id"] == 1
+
+
+def test_rle_decode_uncompressed_and_compressed():
+    from instance_segmentation_tpu.evaluation.coco_ap import rle_to_mask
+    # uncompressed: 3x4 column-major, runs [2,3,7] -> pixels 2..4 set
+    m = rle_to_mask({"size": [3, 4], "counts": [2, 3, 7]})
+    flat = m.T.reshape(-1)                       # back to column-major
+    want = np.zeros(12, bool)
+    want[2:5] = True
+    np.testing.assert_array_equal(flat, want)
+
+    # compressed string round-trip: encode with the pycocotools scheme
+    def encode(cnts):
+        out = []
+        for i, x in enumerate(cnts):
+            if i > 2:
+                x = x - cnts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = not (x == 0 and not (c & 0x10)) and \
+                       not (x == -1 and (c & 0x10))
+                out.append(chr((c | (0x20 if more else 0)) + 48))
+        return "".join(out)
+
+    cnts = [7, 15, 3, 9, 2, 12]                 # sums to 48 = 6x8
+    s = encode(cnts)
+    m1 = rle_to_mask({"size": [6, 8], "counts": s})
+    m2 = rle_to_mask({"size": [6, 8], "counts": cnts})
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_eval_loop_coco_rle_crowd(tmp_path):
+    """An iscrowd RLE region absorbs a spurious detection instead of
+    counting it as a false positive, and frame rescale maps dets from the
+    decode frame to the true image size."""
+    from instance_segmentation_tpu.configs import Config
+    from instance_segmentation_tpu.evaluation.eval_loop import evaluate_from_json
+    from instance_segmentation_tpu.utils.logger import Logger
+
+    root = tmp_path / "coco"
+    (root / "val").mkdir(parents=True)
+    img_path = str(root / "val" / "000001.jpg")
+    H = W = 64
+    # crowd mask: uncompressed RLE covering columns 40..55 fully
+    counts = [40 * H, 16 * H, (W - 56) * H]
+    blob = {
+        "images": [{"id": 1, "file_name": "000001.jpg",
+                    "height": H, "width": W}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "iscrowd": 0, "area": 441.0,
+             "segmentation": [[5.0, 5.0, 25.0, 5.0, 25.0, 25.0, 5.0, 25.0]]},
+            {"image_id": 1, "category_id": 1, "iscrowd": 1, "area": 1024.0,
+             "segmentation": {"size": [H, W], "counts": counts}},
+        ],
+    }
+    with open(root / "val" / "instances.json", "w") as f:
+        json.dump(blob, f)
+
+    out = tmp_path / "out"
+    out.mkdir()
+    # dets in a 128x128 decode frame (2x the true size, corner-to-corner)
+    f = (128 - 1) / (64 - 1)
+    sq = lambda x1, y1, x2, y2: [[x1 * f, y1 * f], [x2 * f, y1 * f],
+                                 [x2 * f, y2 * f], [x1 * f, y2 * f]]
+    dets = [[
+        [0, 0.9, [45.0, 10.0], sq(42.0, 2.0, 52.0, 20.0)],   # inside crowd
+        [0, 0.5, [15.0, 15.0], sq(5.0, 5.0, 25.0, 25.0)],    # real TP
+    ]]
+    infos = [[img_path, [H, W]]]
+    with open(out / "0_dets.json", "w") as fjson:
+        json.dump(dets, fjson)
+    with open(out / "0_infos.json", "w") as fjson:
+        json.dump(infos, fjson)
+
+    cfg = Config({"eval_dir": str(root), "subset": "val", "num_classes": 80,
+                  "save_dir": str(out)})
+    results = evaluate_from_json(cfg, 0, str(out), "coco", Logger(str(out)),
+                                 80, orig_hw=(128, 128))
+    assert results["AP"] == pytest.approx(1.0)

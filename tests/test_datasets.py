@@ -263,3 +263,29 @@ def test_worker_rng_reseeded_per_worker_and_epoch(synth_root):
     assert t._rng is not before
     want = np.random.default_rng([11, 1, 3])
     assert t._rng.bit_generator.state == want.bit_generator.state
+
+
+def test_prefetch_thread_error_propagates(synth_root):
+    """A raising batch in the default threaded-prefetch path must fail the
+    epoch loudly (a swallowed error used to end the epoch early, silently
+    truncating eval sweeps whose dets json then got cached)."""
+    from instance_segmentation_tpu.data import get_dataloader
+    tf = CommonTransforms(TRANS, "val", seed=0)
+    loader = get_dataloader(1, "cityscapes", synth_root, "val", transforms=tf,
+                            max_instances=8, max_verts=32, seed=0)
+
+    class Poisoned:
+        def __init__(self, ds):
+            self._ds = ds
+
+        def __len__(self):
+            return len(self._ds)
+
+        def __getitem__(self, i):
+            if i == 1:
+                raise ValueError("corrupt sample")
+            return self._ds[i]
+
+    loader.dataset = Poisoned(loader.dataset)
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        list(loader)

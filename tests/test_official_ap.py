@@ -55,14 +55,15 @@ def test_golden_base_case_with_ignore_regions():
 
 
 def test_group_only_gt_not_matchable():
-    """A group region alone: not matchable, so no TP; a pred fully inside it
-    is discarded, not an FP; class has GT -> AP defined and 0? No: official
-    eligible-gt set is empty -> haveGt for the class comes from its presence,
-    but all entries vanish and hard_fns=0 -> y arrays empty -> AP 0."""
+    """A group region alone: official haveGt counts eligible (non-group,
+    >= min-size) instances, so the class is EXCLUDED from the mean (NaN in
+    the official script) rather than averaged in as 0; the pred fully
+    inside the group region is discarded, not an FP."""
     gts = [InstanceGT("img", 0, _sq(100, 100, 160, 160), is_group=True)]
     preds = [InstancePrediction("img", 0, 0.9, _sq(110, 110, 150, 150))]
     res = compute_instance_ap(preds, gts, SIZES, num_classes=8)
-    assert res["AP"] == 0.0
+    assert res["AP"] == 0.0          # no class with eligible GT anywhere
+    assert 0 not in res["classes"]   # the group-only class is excluded
 
 
 def test_official_multi_match_rule():
