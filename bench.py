@@ -110,7 +110,8 @@ def main():
     from instance_segmentation_tpu.models import (
         EfficientSeg, EfficientSegConfig, generate_anchors,
     )
-    from instance_segmentation_tpu.ops.decode import DecodeConfig, decode_output
+    from instance_segmentation_tpu.ops.decode import (
+        DecodeConfig, forward_and_decode)
 
     H, W = 512, 1024
     ORIG_H, ORIG_W = 1024, 2048
@@ -137,9 +138,9 @@ def main():
 
     @jax.jit
     def infer(params, batch_stats, images):
-        outputs = model.apply({"params": params, "batch_stats": batch_stats},
-                              images, train=False)
-        return decode_output(outputs, anchors, ORIG_H, ORIG_W, 2.0, dcfg)
+        return forward_and_decode(
+            model, {"params": params, "batch_stats": batch_stats}, images,
+            anchors, ORIG_H, ORIG_W, 2.0, dcfg)
 
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 

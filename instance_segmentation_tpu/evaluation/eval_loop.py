@@ -30,7 +30,8 @@ from instance_segmentation_tpu.evaluation.cityscapes_ap import (
     InstanceGT, InstancePrediction, compute_instance_ap,
 )
 from instance_segmentation_tpu.models.anchors import generate_anchors
-from instance_segmentation_tpu.ops.decode import DecodeConfig, decode_output
+from instance_segmentation_tpu.ops.decode import (
+    DecodeConfig, forward_and_decode)
 
 
 class NpEncoder(json.JSONEncoder):
@@ -101,10 +102,9 @@ def eval_outputs(output_dir: str, eval_loader, model, state, epoch: int,
 
     @jax.jit
     def infer(params, batch_stats, images):
-        outputs = model.apply({"params": params, "batch_stats": batch_stats},
-                              images, train=False)
-        return decode_output(outputs, anchors, orig_hw[0], orig_hw[1],
-                             float(scale_int), dcfg)
+        return forward_and_decode(
+            model, {"params": params, "batch_stats": batch_stats}, images,
+            anchors, orig_hw[0], orig_hw[1], float(scale_int), dcfg)
 
     batch_size = getattr(eval_loader, "batch_size", None)
     all_dets, all_infos = [], []

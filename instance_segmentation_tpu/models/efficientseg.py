@@ -105,7 +105,14 @@ class EfficientSeg(nn.Module):
     cfg: EfficientSegConfig
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False):
+    def __call__(self, images: jnp.ndarray, train: bool = False,
+                 packed_heads: bool = False):
+        """``packed_heads=True`` (inference only) returns
+        ``(kp_full [B,H,W] f32, heads_s2d [B,H/4,W/4,7*16] f32, regression,
+        classification)`` — the dense heads stay in the lane-dense
+        space-to-depth layout end to end (see UNetDecoder.packed) and decode
+        consumes them via ops/decode.decode_output_packed. Same parameters,
+        same math; requires H, W divisible by 4."""
         c = self.cfg
         coef = c.compound_coef
         dtype = c.compute_dtype
@@ -159,9 +166,13 @@ class EfficientSeg(nn.Module):
             dtype=dtype, axis_name=c.axis_name, name="classifier",
         )(feats, train=train)
 
-        kp, ae, tan = decoder_cls(
+        outs = decoder_cls(
             dtype=dtype, axis_name=c.axis_name, s2d=unet_s2d, quant=quant,
-            name="kp_header",
+            packed=packed_heads and not train, name="kp_header",
         )(x, blocks, train)
 
+        if packed_heads and not train:
+            kp_full, heads_s2d = outs
+            return kp_full, heads_s2d, regression, classification
+        kp, ae, tan = outs
         return kp, ae, tan, regression, classification

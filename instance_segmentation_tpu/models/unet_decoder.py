@@ -81,11 +81,29 @@ class UNetDecoder(nn.Module):
     axis_name: Optional[str] = None
     s2d: Any = False          # False | True | "train"
     quant: bool = False       # int8 dense 3x3 convs (heads stay float)
+    packed: bool = False      # inference fast path: return the heads PACKED
+                              # in space-to-depth layout instead of full-res
+                              # maps — (kp_full [B,H,W] f32,
+                              # heads_s2d [B,H/4,W/4,7*16] f32, phase-minor
+                              # channel c*16 + qy*4 + qx with head order
+                              # kp, ae0..3, tan0, tan1). Full-res maps with
+                              # 1-6 trailing channels pad the 128-wide TPU
+                              # lane dim 8-128x; the packed layout keeps
+                              # every materialized tensor lane-dense and the
+                              # decode consumes it directly
+                              # (ops/decode.decode_output_packed).
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, blocks: List[jnp.ndarray],
                  train: bool = False) -> Tuple[jnp.ndarray, ...]:
-        want_s2d = self.s2d is True or (self.s2d == "train" and train)
+        if self.packed:
+            if train or not self.concat_input:
+                raise ValueError("packed head output is inference-only and "
+                                 "requires concat_input")
+            if image.shape[1] % 4 or image.shape[2] % 4:
+                raise ValueError("packed head output needs H, W divisible by 4")
+        want_s2d = (self.s2d is True or (self.s2d == "train" and train)
+                    or self.packed)
         use_s2d = (want_s2d and self.concat_input
                    and image.shape[1] % 4 == 0 and image.shape[2] % 4 == 0)
         n_std = len(self.stage_channels) - (1 if use_s2d else 0)
@@ -110,7 +128,8 @@ class UNetDecoder(nn.Module):
             return tuple(outs)
 
         from instance_segmentation_tpu.models.s2d import (
-            DoubleConvS2D, HeadS2D, UpConvS2D, space_to_depth,
+            DoubleConvS2D, HeadS2D, UpConvS2D, _ConvSameParams, depth_to_space,
+            space_to_depth,
         )
         # last regular stage (/2 resolution) on the /4 cell grid, r=2
         i = n_std
@@ -133,9 +152,30 @@ class UNetDecoder(nn.Module):
         x = DoubleConvS2D(ic, in_features=ic + image.shape[-1], r=4,
                           dtype=self.dtype, axis_name=self.axis_name,
                           name="double_input")(x, train=train)
-        outs = []
+        if not self.packed:
+            outs = []
+            for name, ch in self.heads:
+                y = HeadS2D(ch, in_features=ic, r=4, dtype=self.dtype,
+                            name=f"head_{name}")(x)
+                outs.append(y.astype(jnp.float32))
+            return tuple(outs)
+
+        # packed inference path: ONE per-phase matmul over the concatenated
+        # head kernels; outputs stay in the lane-dense s2d(4) layout (param
+        # tree identical to the standard heads — head_X/Conv_0/{kernel,bias})
+        ks, bs = [], []
         for name, ch in self.heads:
-            y = HeadS2D(ch, in_features=ic, r=4, dtype=self.dtype,
-                        name=f"head_{name}")(x)
-            outs.append(y.astype(jnp.float32))
-        return tuple(outs)
+            k, b = _ConvSameParams((1, 1, ic, ch), ch, name=f"head_{name}")()
+            ks.append(k[0, 0])
+            bs.append(b)
+        kk = jnp.concatenate(ks, axis=-1)                  # [ic, 7]
+        bias = jnp.concatenate(bs)                         # [7]
+        bq, hc, wc, _ = x.shape
+        r2 = 16
+        xr = x.reshape(bq, hc, wc, ic, r2)
+        y = jnp.einsum("bhwiq,io->bhwoq", xr.astype(self.dtype),
+                       kk.astype(self.dtype))
+        y = y + bias.astype(y.dtype)[:, None]
+        heads_s2d = y.reshape(bq, hc, wc, -1).astype(jnp.float32)
+        kp_full = depth_to_space(heads_s2d[..., :r2], 4)[..., 0]
+        return kp_full, heads_s2d

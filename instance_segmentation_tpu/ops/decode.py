@@ -225,6 +225,15 @@ def exact_topk_indices(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndar
     B, N = flat.shape
     k = min(k, N)
     u = _monotonic_u32(flat)                                   # [B, N]
+    idx = _extract_k_indices(_exact_k_mask(u, k), k)
+    vals = jnp.take_along_axis(flat, idx, axis=1)
+    return vals, idx
+
+
+def _exact_k_mask(u: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[B, N] monotonic-u32 values -> boolean mask selecting exactly k per
+    row (the top k by value, ties broken by index order)."""
+    B = u.shape[0]
 
     def bisect(i, state):
         lo, hi = state                          # count(>lo) > k >= count(>hi)
@@ -249,11 +258,7 @@ def exact_topk_indices(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndar
     band = (u > lo[:, None]) & ~gt                              # count(gt|band) > k
     n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
     tie_rank = blocked_cumsum(band.astype(jnp.float32))
-    mask = gt | (band & (tie_rank <= (k - n_gt)))               # exactly k per row
-
-    idx = _extract_k_indices(mask, k)
-    vals = jnp.take_along_axis(flat, idx, axis=1)
-    return vals, idx
+    return gt | (band & (tie_rank <= (k - n_gt)))               # exactly k per row
 
 
 def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
@@ -307,6 +312,80 @@ def select_peaks(hm: jnp.ndarray, k: int,
     """Single-image wrapper over select_peaks_batch."""
     idx, ok = select_peaks_batch(hm[None], k, exact=exact)
     return idx[0], ok[0]
+
+
+def _s2d_shift(x4: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Full-res shift (out[r,c] = in[r-dy, c-dx], zero fill) of an s2d(4)
+    map given as [B, hc, wc, 4, 4] (phase dims qy, qx). |dy|, |dx| < 4."""
+    if dy:
+        pad = jnp.zeros_like(x4[:, :1])
+        if dy > 0:
+            carry = jnp.concatenate([pad, x4[:, :-1]], axis=1)   # cell above
+            x4 = jnp.concatenate(
+                [carry[..., 4 - dy:, :], x4[..., :4 - dy, :]], axis=3)
+        else:
+            carry = jnp.concatenate([x4[:, 1:], pad], axis=1)    # cell below
+            x4 = jnp.concatenate(
+                [x4[..., -dy:, :], carry[..., :-dy, :]], axis=3)
+    if dx:
+        pad = jnp.zeros_like(x4[:, :, :1])
+        if dx > 0:
+            carry = jnp.concatenate([pad, x4[:, :, :-1]], axis=2)
+            x4 = jnp.concatenate(
+                [carry[..., 4 - dx:], x4[..., :4 - dx]], axis=4)
+        else:
+            carry = jnp.concatenate([x4[:, :, 1:], pad], axis=2)
+            x4 = jnp.concatenate(
+                [x4[..., -dx:], carry[..., :-dx]], axis=4)
+    return x4
+
+
+def _gather_phase_rows(cells: jnp.ndarray, cell_idx: jnp.ndarray,
+                       onehot: jnp.ndarray) -> jnp.ndarray:
+    """cells [B, ncells, C, 16], cell_idx [B, K], onehot [B, K, 16] ->
+    [B, K, C]: one VECTORIZED contiguous-row gather plus a one-hot phase
+    reduction (per-element lane gathers run at scalar rate on TPU)."""
+    B, _, C, r2 = cells.shape
+    rows = jnp.take_along_axis(cells.reshape(B, -1, C * r2),
+                               cell_idx[..., None], axis=1)
+    return jnp.einsum("bkcq,bkq->bkc", rows.reshape(B, -1, C, r2), onehot)
+
+
+def _select_peaks_s2d(kp_full: jnp.ndarray, kp_s2d: jnp.ndarray,
+                      k: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """select_peaks_batch on the packed layout: identical row-major top-k
+    semantics (the exact-k mask runs on the full-res flat map), but all
+    VALUE work — the thresholded masked map, the 8 shifted maxes, and the
+    value/peak lookups — runs on the lane-dense s2d(4) tensor
+    [B, H/4, W/4, 16]. Per-pixel values are exactly those of the full-res
+    formulation. Returns (flat indices [B,k], peak-valid [B,k], onehot
+    [B,k,16] phase selectors for reuse by the ae gather)."""
+    B, H, W = kp_full.shape
+    k = min(k, H * W)
+    wc = W // 4
+    u = _monotonic_u32(kp_full.reshape(B, -1))
+    top_i = _extract_k_indices(_exact_k_mask(u, k), k)
+
+    rr = top_i // W
+    cc = top_i % W
+    cell_idx = (rr // 4) * wc + (cc // 4)
+    q = (rr % 4) * 4 + (cc % 4)
+    onehot = jax.nn.one_hot(q, 16, dtype=kp_s2d.dtype)
+    cells = kp_s2d.reshape(B, -1, 1, 16)
+    top_v = _gather_phase_rows(cells, cell_idx, onehot)[..., 0]
+
+    thresh = jnp.min(top_v, axis=1)
+    x4 = kp_s2d.reshape(B, H // 4, wc, 4, 4)
+    masked = jnp.where(x4 >= thresh[:, None, None, None, None], x4, 0.0)
+    hmax = masked
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            hmax = jnp.maximum(hmax, _s2d_shift(masked, dy, dx))
+    hmax_at = _gather_phase_rows(hmax.reshape(B, -1, 1, 16), cell_idx,
+                                 onehot)[..., 0]
+    return top_i, hmax_at == top_v, onehot
 
 
 # ---------------------------------------------------------------------------
@@ -550,18 +629,70 @@ def decode_output(outputs, anchors: jnp.ndarray, orig_h: int, orig_w: int,
     """
     kp, ae, tan, regression, classification = outputs
     B, H, W, _ = kp.shape
+
+    def select():
+        return select_peaks_batch(kp[..., 0], cfg.kp_th, exact=cfg.exact_topk)
+
+    def ae_at(flat_idx):
+        return jnp.take_along_axis(ae.reshape(B, -1, 4),
+                                   flat_idx[..., None], axis=1)
+
+    return _decode_core(select, ae_at, regression, classification, anchors,
+                        H, W, orig_h, orig_w, scale_int, cfg)
+
+
+def decode_output_packed(outputs, anchors: jnp.ndarray, orig_h: int,
+                         orig_w: int, scale_int: float,
+                         cfg: DecodeConfig = DecodeConfig()) -> Detections:
+    """Decode from the packed space-to-depth head layout (the inference fast
+    path, models/unet_decoder.UNetDecoder.packed).
+
+    outputs = (kp_full [B,H,W] f32, heads_s2d [B,H/4,W/4,7*16] f32,
+    regression, classification) with heads_s2d channel c*16 + qy*4 + qx,
+    head order (kp, ae0..3, tan0, tan1). Exactly the same math as
+    decode_output on the unpacked maps: the kp map is already dense, and the
+    ae values are gathered straight from the s2d tensor with integer index
+    arithmetic (full-res flat index -> (cell, phase) -> packed channel).
+    """
+    kp_full, heads_s2d, regression, classification = outputs
+    B, H, W = kp_full.shape
+    r2 = 16
+    wc = W // 4
+    nheads = heads_s2d.shape[-1] // r2
+    cells = heads_s2d.reshape(B, -1, nheads, r2)           # [B, ncells, 7, 16]
+    state = {}
+
+    def select():
+        flat_idx, ok, onehot = _select_peaks_s2d(
+            kp_full, heads_s2d[..., :r2], cfg.kp_th)
+        state["onehot"] = onehot
+        return flat_idx, ok
+
+    def ae_at(flat_idx):
+        cell = ((flat_idx // W) // 4) * wc + ((flat_idx % W) // 4)
+        return _gather_phase_rows(cells[:, :, 1:5], cell, state["onehot"])
+
+    return _decode_core(select, ae_at, regression, classification, anchors,
+                        H, W, orig_h, orig_w, scale_int, cfg)
+
+
+def _decode_core(select, ae_at, regression, classification, anchors,
+                 H: int, W: int, orig_h: int, orig_w: int, scale_int: float,
+                 cfg: DecodeConfig) -> Detections:
+    """Shared decode body: `select()` returns the boundary-peak top-k
+    (flat indices [B,K], peak-valid [B,K]); `ae_at(flat_idx)` gathers the
+    [B,K,4] embedding/sigma values at those pixels."""
     xym = coordinate_grid(H, W)
 
     boxes, scores, classes, det_valid = decode_boxes(
         classification, regression, anchors, H, W, cfg)
 
-    flat_idx, kp_ok = select_peaks_batch(kp[..., 0], cfg.kp_th,
-                                         exact=cfg.exact_topk)        # [B,K]
+    flat_idx, kp_ok = select()                                        # [B,K]
     rr = (flat_idx // W).astype(jnp.float32)
     cc = (flat_idx % W).astype(jnp.float32)
     kp_rc = jnp.stack([rr, cc], axis=-1)                              # [B,K,2]
 
-    ae_flat = jnp.take_along_axis(ae.reshape(B, -1, 4), flat_idx[..., None], axis=1)
+    ae_flat = ae_at(flat_idx)
     # the coordinate frame is analytic (losses.coordinate_grid: i/1023,
     # 2*j/2047) — compute it from (rr, cc) instead of gathering the grid
     xym_flat = jnp.stack([rr / 1023.0, cc * (2.0 / 2047.0)], axis=-1)
@@ -608,3 +739,20 @@ def decode_output(outputs, anchors: jnp.ndarray, orig_h: int, orig_w: int,
     return Detections(boxes=boxes, scores=scores, classes=classes,
                       det_valid=det_valid, polygons=polys, poly_len=lens,
                       centers=centers, obj_valid=obj_ok)
+
+
+def forward_and_decode(model, variables, images, anchors, orig_h: int,
+                       orig_w: int, scale_int: float,
+                       cfg: DecodeConfig = DecodeConfig()) -> Detections:
+    """Compose a model forward with the full decode, taking the packed
+    space-to-depth fast path (UNetDecoder.packed + decode_output_packed)
+    whenever the input resolution allows — measured 144 -> 192 img/s at B3
+    512x1024 batch 8 on v5e (full-res head maps with 1-4 trailing channels
+    pad the 128-lane dim 8-128x; the packed layout stays lane-dense end to
+    end). Falls back to the standard maps otherwise. Same math either way.
+    """
+    packed = (images.shape[1] % 4 == 0 and images.shape[2] % 4 == 0
+              and getattr(getattr(model, "cfg", None), "quant", "none") == "none")
+    outputs = model.apply(variables, images, train=False, packed_heads=packed)
+    decode = decode_output_packed if packed else decode_output
+    return decode(outputs, anchors, orig_h, orig_w, scale_int, cfg)

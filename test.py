@@ -47,7 +47,7 @@ def main():
     from instance_segmentation_tpu import data as data_mod
     from instance_segmentation_tpu.evaluation.eval_loop import decode_cfg_from, detections_to_json
     from instance_segmentation_tpu.models import EfficientSeg, EfficientSegConfig, generate_anchors
-    from instance_segmentation_tpu.ops.decode import decode_output
+    from instance_segmentation_tpu.ops.decode import forward_and_decode
     from instance_segmentation_tpu.parallel import create_train_state
     from instance_segmentation_tpu.parallel.train_step import make_optimizer
     from instance_segmentation_tpu.transforms import CommonTransforms
@@ -113,10 +113,9 @@ def main():
 
     @jax.jit
     def infer(params, batch_stats, images):
-        outputs = model.apply({"params": params, "batch_stats": batch_stats},
-                              images, train=False)
-        return decode_output(outputs, anchors, orig_hw[0], orig_hw[1],
-                             float(scale), dcfg)
+        return forward_and_decode(
+            model, {"params": params, "batch_stats": batch_stats}, images,
+            anchors, orig_hw[0], orig_hw[1], float(scale), dcfg)
 
     draw_flag = bool(decode_cfg.get("draw_flag"))
 

@@ -189,3 +189,86 @@ def test_backbone_s2d_train_mode_gating():
     var = gated.init({"params": key, "dropout": key}, x, False)
     for a, b in zip(std.apply(var, x, False), gated.apply(var, x, False)):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_unet_packed_heads_match_standard():
+    """Packed inference output (kp_full [B,H,W] + heads_s2d [B,H/4,W/4,7*16])
+    carries exactly the standard head maps, from the same parameter tree."""
+    from instance_segmentation_tpu.models.s2d import depth_to_space
+    image, blocks = _decoder_fixture()
+    std = UNetDecoder(s2d=False)
+    packed = UNetDecoder(packed=True)
+    var = std.init(jax.random.PRNGKey(0), image, blocks, False)
+    var2 = packed.init(jax.random.PRNGKey(0), image, blocks, False)
+    jax.tree.map(np.testing.assert_array_equal, var["params"], var2["params"])
+
+    kp, ae, tan = std.apply(var, image, blocks, False)
+    kp_full, heads_s2d = packed.apply(var, image, blocks, False)
+    assert kp_full.shape == image.shape[:3]
+    full = depth_to_space(heads_s2d, 4)
+    np.testing.assert_array_equal(np.asarray(kp_full), np.asarray(full[..., 0]))
+    for a, b in ((kp[..., 0], full[..., 0]), (ae, full[..., 1:5]),
+                 (tan, full[..., 5:7])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_decode_output_packed_exact():
+    """decode_output_packed on s2d-packed maps is BIT-EXACT vs decode_output
+    on the unpacked maps (the packed gather is pure integer index math)."""
+    from instance_segmentation_tpu.models import (
+        EfficientSeg, EfficientSegConfig, generate_anchors)
+    from instance_segmentation_tpu.models.s2d import space_to_depth
+    from instance_segmentation_tpu.ops.decode import (
+        DecodeConfig, decode_output, decode_output_packed)
+
+    B, H, W = 2, 128, 256
+    cfg = EfficientSegConfig(num_classes=8, compound_coef=0)
+    model = EfficientSeg(cfg)
+    images = jnp.asarray(np.random.default_rng(5).integers(
+        0, 255, (B, H, W, 3), dtype=np.uint8))
+    var = model.init({"params": jax.random.PRNGKey(1)}, images, train=False)
+    kp, ae, tan, reg, cls = model.apply(var, images, train=False)
+
+    anchors = jnp.asarray(generate_anchors(
+        H, W, pyramid_levels=cfg.pyramid_levels, anchor_scale=cfg.anchor_scale,
+        scales=cfg.scales, ratios=cfg.ratios))
+    dcfg = DecodeConfig(kp_th=256, pre_nms=64, max_dets=16, max_poly=64)
+    packed_maps = space_to_depth(jnp.concatenate([kp, ae, tan], axis=-1), 4)
+    d1 = decode_output((kp, ae, tan, reg, cls), anchors, 2 * H, 2 * W, 2.0, dcfg)
+    d2 = decode_output_packed((kp[..., 0], packed_maps, reg, cls),
+                              anchors, 2 * H, 2 * W, 2.0, dcfg)
+    for name, a, b in zip(d1._fields, d1, d2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_model_packed_heads_end_to_end():
+    """EfficientSeg(packed_heads=True) composes with decode_output_packed and
+    matches the standard forward+decode detections (f32)."""
+    from instance_segmentation_tpu.models import (
+        EfficientSeg, EfficientSegConfig, generate_anchors)
+    from instance_segmentation_tpu.ops.decode import (
+        DecodeConfig, decode_output, decode_output_packed)
+
+    B, H, W = 1, 128, 256
+    cfg = EfficientSegConfig(num_classes=8, compound_coef=0)
+    model = EfficientSeg(cfg)
+    images = jnp.asarray(np.random.default_rng(9).integers(
+        0, 255, (B, H, W, 3), dtype=np.uint8))
+    var = model.init({"params": jax.random.PRNGKey(2)}, images, train=False)
+    anchors = jnp.asarray(generate_anchors(
+        H, W, pyramid_levels=cfg.pyramid_levels, anchor_scale=cfg.anchor_scale,
+        scales=cfg.scales, ratios=cfg.ratios))
+    dcfg = DecodeConfig(kp_th=256, pre_nms=64, max_dets=16, max_poly=64)
+    d1 = decode_output(model.apply(var, images, train=False),
+                       anchors, 2 * H, 2 * W, 2.0, dcfg)
+    d2 = decode_output_packed(
+        model.apply(var, images, train=False, packed_heads=True),
+        anchors, 2 * H, 2 * W, 2.0, dcfg)
+    # boxes come from the identical detector branch; polygons depend on peak
+    # selection over near-identical (reassociated f32) kp maps
+    np.testing.assert_array_equal(np.asarray(d1.boxes), np.asarray(d2.boxes))
+    np.testing.assert_array_equal(np.asarray(d1.det_valid),
+                                  np.asarray(d2.det_valid))
+    assert int(jnp.sum(d1.obj_valid)) == int(jnp.sum(d2.obj_valid))

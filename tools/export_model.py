@@ -38,7 +38,7 @@ def build_export(compound: int, hw, batch: int, num_classes: int,
     from instance_segmentation_tpu.models import (
         EfficientSeg, EfficientSegConfig, generate_anchors,
     )
-    from instance_segmentation_tpu.ops.decode import DecodeConfig, decode_output
+    from instance_segmentation_tpu.ops.decode import DecodeConfig, forward_and_decode
 
     H, W = hw
     orig_hw = orig_hw or (2 * H, 2 * W)   # shipped config: x1/2 resize
@@ -66,10 +66,9 @@ def build_export(compound: int, hw, batch: int, num_classes: int,
     dcfg = DecodeConfig()
 
     def serve(images):
-        outputs = model.apply({"params": params, "batch_stats": batch_stats},
-                              images, train=False)
-        dets = decode_output(outputs, anchors, orig_hw[0], orig_hw[1],
-                             float(orig_hw[0] / H), dcfg)
+        dets = forward_and_decode(
+            model, {"params": params, "batch_stats": batch_stats}, images,
+            anchors, orig_hw[0], orig_hw[1], float(orig_hw[0] / H), dcfg)
         # flat tuple of arrays: the artifact needs no custom pytree types
         return (dets.classes, dets.scores, dets.centers, dets.polygons,
                 dets.poly_len, dets.obj_valid)
