@@ -179,13 +179,23 @@ class EfficientNetFeatures(nn.Module):
                               # layout (models/s2d.py MBConvS2D/StemS2D) —
                               # exact, checkpoint-identical; kills the lane
                               # padding of the 16-40-channel /2-res tensors.
+                              # "stem": s2d the stem conv ONLY, exiting to the
+                              # standard layout before block 0 — the inference
+                              # sweet spot (the full MBConv s2d wins in
+                              # training where the backward is layout-bound,
+                              # but its depthwise d2s/s2d roundtrips lose at
+                              # eval; the stem-only form still avoids
+                              # materializing the lane-padded full-res
+                              # 3-channel image as a conv operand).
     quant: bool = False       # int8 dense convs (inference path)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         blocks = scaled_blocks(self.variant)
         want_s2d = self.s2d is True or (self.s2d == "train" and train)
-        use_s2d = (want_s2d and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
+        shape_ok = x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        use_s2d = want_s2d and shape_ok
+        use_stem_s2d = use_s2d or (self.s2d == "stem" and shape_ok)
 
         # flatten stages into the per-block list the reference iterates over
         flat: List[BlockArgs] = []
@@ -196,7 +206,7 @@ class EfficientNetFeatures(nn.Module):
                                       b.expand_ratio, 1, b.se_ratio))
         total = len(flat)
 
-        if use_s2d:
+        if use_stem_s2d:
             from instance_segmentation_tpu.models.s2d import (
                 MBConvS2D, StemS2D, depth_to_space, space_to_depth)
             x = space_to_depth(x, 4)
@@ -205,6 +215,8 @@ class EfficientNetFeatures(nn.Module):
             x = BatchNorm(axis_name=self.axis_name, phases=4,
                           name="stem_bn")(x, train=train)
             x = swish(x)
+            if not use_s2d:
+                x = depth_to_space(x, 2)        # exit to standard layout
         else:
             x = ConvSame(stem_filters(self.variant), (3, 3), strides=(2, 2), use_bias=False,
                          dtype=self.dtype, name="stem_conv")(x)

@@ -137,6 +137,11 @@ class EfficientSeg(nn.Module):
         # off anyway)
         backbone_s2d = False if quant else c.backbone_s2d
         unet_s2d = False if quant else c.unet_s2d
+        if packed_heads and not train and backbone_s2d == "train":
+            # the packed inference path feeds the image to s2d consumers
+            # only; running the stem on the cell grid too means the
+            # lane-padded full-res 3-channel tensor never materializes
+            backbone_s2d = "stem"
         backbone = backbone_cls(
             variant=BACKBONE_COEF[coef], dtype=dtype, axis_name=c.axis_name,
             s2d=backbone_s2d, quant=quant, name="backbone")

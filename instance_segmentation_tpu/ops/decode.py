@@ -230,15 +230,18 @@ def exact_topk_indices(flat: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndar
     return vals, idx
 
 
-def _exact_k_mask(u: jnp.ndarray, k: int) -> jnp.ndarray:
-    """[B, N] monotonic-u32 values -> boolean mask selecting exactly k per
-    row (the top k by value, ties broken by index order)."""
+def _bisect_band(u: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Binary-search the k-th value band of [B, ...] monotonic-u32 values:
+    returns per-row (lo, hi) with count(>lo) > k >= count(>hi). Counts are
+    ORDER-FREE, so `u` may be any layout/flattening of the map (the packed
+    path passes the lane-dense s2d tensor)."""
     B = u.shape[0]
+    u2 = u.reshape(B, -1)
 
     def bisect(i, state):
         lo, hi = state                          # count(>lo) > k >= count(>hi)
         mid = lo + (hi - lo) // 2               # no uint32 overflow
-        cnt = jnp.sum((u > mid[:, None]).astype(jnp.int32), axis=1)
+        cnt = jnp.sum((u2 > mid[:, None]).astype(jnp.int32), axis=1)
         lo = jnp.where(cnt > k, mid, lo)
         hi = jnp.where(cnt > k, hi, mid)
         return lo, hi
@@ -252,8 +255,14 @@ def _exact_k_mask(u: jnp.ndarray, k: int) -> jnp.ndarray:
     # relative precision); elements inside the residual value band are taken
     # in index order instead of value order — indistinguishable for logits,
     # and the exact-k count is preserved.
-    lo, hi = jax.lax.fori_loop(0, 18, bisect, (lo0, hi0))
+    return jax.lax.fori_loop(0, 18, bisect, (lo0, hi0))
 
+
+def _exact_k_mask(u: jnp.ndarray, k: int,
+                  bounds: Tuple[jnp.ndarray, jnp.ndarray] = None) -> jnp.ndarray:
+    """[B, N] monotonic-u32 values -> boolean mask selecting exactly k per
+    row (the top k by value, ties broken by index order)."""
+    lo, hi = bounds if bounds is not None else _bisect_band(u, k)
     gt = u > hi[:, None]                                        # count <= k
     band = (u > lo[:, None]) & ~gt                              # count(gt|band) > k
     n_gt = jnp.sum(gt.astype(jnp.int32), axis=1, keepdims=True)
@@ -351,20 +360,26 @@ def _gather_phase_rows(cells: jnp.ndarray, cell_idx: jnp.ndarray,
     return jnp.einsum("bkcq,bkq->bkc", rows.reshape(B, -1, C, r2), onehot)
 
 
-def _select_peaks_s2d(kp_full: jnp.ndarray, kp_s2d: jnp.ndarray,
-                      k: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def _select_peaks_s2d(kp_full: jnp.ndarray, kp_s2d: jnp.ndarray, k: int,
+                      extra_cells: jnp.ndarray = None):
     """select_peaks_batch on the packed layout: identical row-major top-k
     semantics (the exact-k mask runs on the full-res flat map), but all
     VALUE work — the thresholded masked map, the 8 shifted maxes, and the
     value/peak lookups — runs on the lane-dense s2d(4) tensor
     [B, H/4, W/4, 16]. Per-pixel values are exactly those of the full-res
-    formulation. Returns (flat indices [B,k], peak-valid [B,k], onehot
-    [B,k,16] phase selectors for reuse by the ae gather)."""
+    formulation. Returns (flat indices [B,k], peak-valid [B,k], extra_vals):
+    `extra_cells` [B, ncells, C, 16] rides along in the SAME row gather as
+    the peak test (one gather pass instead of two) and comes back as
+    [B, k, C] values at the selected pixels."""
     B, H, W = kp_full.shape
     k = min(k, H * W)
     wc = W // 4
+    # the bisect's 18 count-reduces are order-free: run them on the
+    # lane-dense s2d tensor; only the tie-ordered mask/extraction read the
+    # row-major full-res map
+    bounds = _bisect_band(_monotonic_u32(kp_s2d), k)
     u = _monotonic_u32(kp_full.reshape(B, -1))
-    top_i = _extract_k_indices(_exact_k_mask(u, k), k)
+    top_i = _extract_k_indices(_exact_k_mask(u, k, bounds), k)
 
     rr = top_i // W
     cc = top_i % W
@@ -383,9 +398,12 @@ def _select_peaks_s2d(kp_full: jnp.ndarray, kp_s2d: jnp.ndarray,
             if dy == 0 and dx == 0:
                 continue
             hmax = jnp.maximum(hmax, _s2d_shift(masked, dy, dx))
-    hmax_at = _gather_phase_rows(hmax.reshape(B, -1, 1, 16), cell_idx,
-                                 onehot)[..., 0]
-    return top_i, hmax_at == top_v, onehot
+    gather_cells = hmax.reshape(B, -1, 1, 16)
+    if extra_cells is not None:
+        gather_cells = jnp.concatenate([gather_cells, extra_cells], axis=2)
+    got = _gather_phase_rows(gather_cells, cell_idx, onehot)
+    extra_vals = got[..., 1:] if extra_cells is not None else None
+    return top_i, got[..., 0] == top_v, extra_vals
 
 
 # ---------------------------------------------------------------------------
@@ -663,14 +681,14 @@ def decode_output_packed(outputs, anchors: jnp.ndarray, orig_h: int,
     state = {}
 
     def select():
-        flat_idx, ok, onehot = _select_peaks_s2d(
-            kp_full, heads_s2d[..., :r2], cfg.kp_th)
-        state["onehot"] = onehot
+        flat_idx, ok, ae_vals = _select_peaks_s2d(
+            kp_full, heads_s2d[..., :r2], cfg.kp_th,
+            extra_cells=cells[:, :, 1:5])
+        state["ae"] = ae_vals
         return flat_idx, ok
 
     def ae_at(flat_idx):
-        cell = ((flat_idx // W) // 4) * wc + ((flat_idx % W) // 4)
-        return _gather_phase_rows(cells[:, :, 1:5], cell, state["onehot"])
+        return state["ae"]
 
     return _decode_core(select, ae_at, regression, classification, anchors,
                         H, W, orig_h, orig_w, scale_int, cfg)

@@ -272,3 +272,22 @@ def test_model_packed_heads_end_to_end():
     np.testing.assert_array_equal(np.asarray(d1.det_valid),
                                   np.asarray(d2.det_valid))
     assert int(jnp.sum(d1.obj_valid)) == int(jnp.sum(d2.obj_valid))
+
+
+def test_backbone_stem_s2d_matches_standard():
+    """s2d="stem" (the packed-inference backbone mode) runs only the stem on
+    the cell grid and exits to the standard layout — equal features."""
+    from instance_segmentation_tpu.models.efficientnet import (
+        EfficientNetFeatures)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)), jnp.float32)
+    std = EfficientNetFeatures(variant=0, s2d=False)
+    stem = EfficientNetFeatures(variant=0, s2d="stem")
+    key = jax.random.PRNGKey(0)
+    var = std.init({"params": key, "dropout": key}, x, False)
+    var2 = stem.init({"params": key, "dropout": key}, x, False)
+    jax.tree.map(np.testing.assert_array_equal, var["params"], var2["params"])
+    for a, b in zip(std.apply(var, x, False), stem.apply(var, x, False)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=1e-4)
