@@ -7,9 +7,10 @@ Prints ONE JSON line:
 `ISEG_BENCH_TRAIN=1` (or --train) benchmarks the FULL compiled training
 step instead (on-device targets + 4 losses + grads + Adam, B3 512x1024,
 batch ISEG_BENCH_TRAIN_BATCH=4, M=96 instances, P=1024 boundary points) —
-still one JSON line, metric name `..._train_imgs_per_sec_per_chip`,
-vs_baseline null (the reference repo has no measurable training-throughput
-baseline on this host).
+still one JSON line, metric name `..._train_imgs_per_sec_per_chip`.
+Its vs_baseline compares against the measured torch-CPU reference train
+step (tools/bench_reference_train.py -> BENCH_BASELINE.json
+reference_train_imgs_per_sec), null if that entry is absent.
 
 Workload (the reference's shipped config): EfficientSeg-B3 at 512x1024
 (each processed frame is a 1024x2048 Cityscapes image resized x1/2,
@@ -85,11 +86,20 @@ def bench_train():
         r = step(state, images, polys, n_verts, cls_ids, srng)
     force(r)
     dt = (time.time() - t) / (iters * B)
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        entry = base.get("reference_train_imgs_per_sec")
+        if entry and entry.get("value"):
+            vs_baseline = round(1.0 / dt / float(entry["value"]), 3)
     print(json.dumps({
         "metric": "cityscapes_b3_512x1024_train_imgs_per_sec_per_chip",
         "value": round(1.0 / dt, 3),
         "unit": "img/s",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
     }))
 
 
