@@ -174,6 +174,51 @@ def s2d_depthwise_kernel(kernel: jnp.ndarray, r_in: int, stride: int):
     return w, padding
 
 
+def s2d_depthwise_shift(x: jnp.ndarray, kernel: jnp.ndarray, r: int,
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """Stride-1 depthwise k x k SAME conv applied directly to an s2d(r)
+    tensor as k^2 shifted multiply-adds over (cell shift, phase) pairs — no
+    depth_to_space/space_to_depth roundtrip and no grouped conv.
+
+    [B, hc, wc, C*r^2] x depthwise [kh, kw, 1, C] -> [B, hc, wc, C*r^2].
+
+    Full-res row 2*i + py reached through tap dy is row 2*(i + cell) + phase
+    with cell = (py+dy) // r, phase = (py+dy) % r, so each of the k^2 taps is
+    a static slice of the cell-padded tensor — XLA fuses the whole thing into
+    one vectorized pass. Numerics match the conv (bf16 products accumulated
+    in f32; products of bf16 are exact in f32), only the summation order
+    differs. Measured vs the d2s/conv/s2d roundtrip at B3-stage-1 shapes:
+    the expand->depthwise->project chain drops 15.5 -> 8.4 ms fwd+bwd and
+    8.3 -> 2.6 ms fwd (tools/microbench_s2d.py --chain)."""
+    kh, kw, _, c = kernel.shape
+    assert kh % 2 == 1 and kw % 2 == 1, "odd kernels only"
+    b, hc, wc, cr = x.shape
+    r2 = r * r
+    assert cr == c * r2
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    xr = x.reshape(b, hc, wc, c, r, r)
+    cy_lo, cy_hi = (0 - ph) // r, (r - 1 + ph) // r
+    cx_lo, cx_hi = (0 - pw) // r, (r - 1 + pw) // r
+    xp = jnp.pad(xr, ((0, 0), (-cy_lo, cy_hi), (-cx_lo, cx_hi),
+                      (0, 0), (0, 0), (0, 0)))
+    kd = kernel[:, :, 0, :].astype(dtype).astype(jnp.float32)
+    phases = []
+    for py in range(r):
+        for px in range(r):
+            acc = None
+            for dy in range(-ph, ph + 1):
+                for dx in range(-pw, pw + 1):
+                    cy, sy = (py + dy) // r, (py + dy) % r
+                    cx, sx = (px + dx) // r, (px + dx) % r
+                    src = xp[:, cy - cy_lo:cy - cy_lo + hc,
+                             cx - cx_lo:cx - cx_lo + wc, :, sy, sx]
+                    t = kd[dy + ph, dx + pw, :] * src.astype(jnp.float32)
+                    acc = t if acc is None else acc + t
+            phases.append(acc.astype(dtype))
+    out = jnp.stack(phases, axis=-1)           # [B, hc, wc, C, r^2]
+    return out.reshape(b, hc, wc, cr)
+
+
 def phase_pointwise(x: jnp.ndarray, kernel: jnp.ndarray, r: int,
                     bias: Optional[jnp.ndarray] = None,
                     dtype=jnp.float32) -> jnp.ndarray:
@@ -378,22 +423,26 @@ class MBConvS2D(nn.Module):
         kk = a.kernel_size
         kd, _ = _ConvSameParams((kk, kk, 1, expanded), expanded,
                                 use_bias=False, name="depthwise_conv")()
-        # The depthwise conv — the block's only spatial op — runs at FULL
-        # resolution between depth_to_space/space_to_depth. The grouped cell
+        # The depthwise conv — the block's only spatial op. The grouped cell
         # conv (s2d_depthwise_kernel) is exact but its r^2-sized groups
-        # lower catastrophically on TPU: 94 ms fwd+bwd vs 10 ms for this
-        # roundtrip at B3-stage-2 shapes (tools/microbench_s2d.py). At
-        # stride 2 the full-res conv output IS the target layout (r_out*
-        # stride == r), so the exit to standard execution is free.
-        x = depth_to_space(x, r)
-        x = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kd.astype(self.dtype),
-            (a.stride, a.stride), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=expanded,
-            preferred_element_type=self.dtype)
-        if r_out > 1:
-            x = space_to_depth(x, r_out)
+        # lower catastrophically on TPU (94 ms fwd+bwd vs 10 for a full-res
+        # d2s/conv/s2d roundtrip at B3-stage-2 shapes). Stride 1 runs as k^2
+        # shifted multiply-adds directly on the s2d tensor — measured ~2x
+        # the whole chain vs the roundtrip (tools/microbench_s2d.py --chain).
+        # At stride 2 the full-res conv output IS the target layout
+        # (r_out*stride == r), so the roundtrip's exit is free; keep it.
+        if a.stride == 1:
+            x = s2d_depthwise_shift(x, kd, r, dtype=self.dtype)
+        else:
+            x = depth_to_space(x, r)
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kd.astype(self.dtype),
+                (a.stride, a.stride), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=expanded,
+                preferred_element_type=self.dtype)
+            if r_out > 1:
+                x = space_to_depth(x, r_out)
         x = BatchNorm(axis_name=self.axis_name, phases=r_out * r_out,
                       name="bn1")(x, train=train)
         x = swish(x)

@@ -146,8 +146,118 @@ def main_alt():
     timed("fwd+bwd d2s/full-res/s2d roundtrip", fb(roundtrip), xec)
 
 
+def main_chain():
+    """Whole expand -> depthwise -> project chain at stage-1 shapes: the
+    transposes around the depthwise are what the roundtrip pays; candidates
+    move the layout change into the 1x1 matmuls or into shifted adds."""
+    rng = np.random.default_rng(0)
+    from instance_segmentation_tpu.models.s2d import depth_to_space
+    Hc, Wc = H // R, W // R
+    xc = jnp.asarray(rng.normal(size=(B, Hc, Wc, C * R * R)), DT)
+    k1 = jnp.asarray(rng.normal(size=(1, 1, C, E)), jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(1, 1, E, C)), jnp.float32)
+    kd = jnp.asarray(rng.normal(size=(3, 3, 1, E)), jnp.float32)
+
+    def dconv(x):
+        return jax.lax.conv_general_dilated(
+            x, kd.astype(DT), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=E, preferred_element_type=DT)
+
+    # A: current MBConvS2D form (einsums on s2d; d2s/s2d around the conv)
+    def chain_a(a):
+        y = phase_pointwise(a, k1, R, dtype=DT)
+        f = depth_to_space(y, R)
+        f = dconv(f)
+        y = space_to_depth(f, R)
+        return phase_pointwise(y, k2, R, dtype=DT)
+
+    # B: layout folded into the matmuls — expand emits full-res directly,
+    # project consumes full-res directly (no standalone transpose pass)
+    def chain_b(a):
+        xr = a.reshape(B, Hc, Wc, C, R, R)
+        f = jnp.einsum("bhwcyx,cd->bhywxd", xr.astype(DT), k1.astype(DT)[0, 0],
+                       preferred_element_type=DT)
+        f = f.reshape(B, H, W, E)
+        f = dconv(f)
+        fr = f.reshape(B, Hc, R, Wc, R, E)
+        y = jnp.einsum("bhywxe,ec->bhwcyx", fr, k2.astype(DT)[0, 0],
+                       preferred_element_type=DT)
+        return y.reshape(B, Hc, Wc, C * R * R)
+
+    # C: depthwise as 36 shifted multiply-adds directly on the s2d tensor
+    def dconv_shift(y):                       # y: [B,Hc,Wc,E*4]
+        xr = y.reshape(B, Hc, Wc, E, R, R)
+        xp = jnp.pad(xr, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
+        kdt = kd.astype(DT)
+        phases = []
+        for py in range(R):
+            for px in range(R):
+                acc = None
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        sy, cy = (py + dy) % R, (py + dy) // R
+                        sx, cx = (px + dx) % R, (px + dx) // R
+                        src = xp[:, 1 + cy:1 + cy + Hc, 1 + cx:1 + cx + Wc,
+                                 :, sy, sx]
+                        t = kdt[dy + 1, dx + 1, 0, :] * src
+                        acc = t if acc is None else acc + t
+                phases.append(acc)
+        out = jnp.stack(phases, axis=-1)      # [B,Hc,Wc,E,4] phase-minor
+        return out.reshape(B, Hc, Wc, E * R * R)
+
+    def chain_c(a):
+        y = phase_pointwise(a, k1, R, dtype=DT)
+        y = dconv_shift(y)
+        return phase_pointwise(y, k2, R, dtype=DT)
+
+    # D: same shifted multiply-adds, f32 accumulation (numerics of the conv)
+    def dconv_shift_f32(y):
+        xr = y.reshape(B, Hc, Wc, E, R, R)
+        xp = jnp.pad(xr, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
+        phases = []
+        for py in range(R):
+            for px in range(R):
+                acc = None
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        sy, cy = (py + dy) % R, (py + dy) // R
+                        sx, cx = (px + dx) % R, (px + dx) // R
+                        src = xp[:, 1 + cy:1 + cy + Hc, 1 + cx:1 + cx + Wc,
+                                 :, sy, sx]
+                        t = kd[dy + 1, dx + 1, 0, :] * src.astype(jnp.float32)
+                        acc = t if acc is None else acc + t
+                phases.append(acc.astype(DT))
+        out = jnp.stack(phases, axis=-1)
+        return out.reshape(B, Hc, Wc, E * R * R)
+
+    def chain_d(a):
+        y = phase_pointwise(a, k1, R, dtype=DT)
+        y = dconv_shift_f32(y)
+        return phase_pointwise(y, k2, R, dtype=DT)
+
+    def fb(fn):
+        def g(a):
+            return jnp.sum(fn(a) ** 2)
+        return jax.grad(g)
+
+    for name, fn in (("A current (einsum+roundtrip)", chain_a),
+                     ("B layout-folded matmuls", chain_b),
+                     ("C shift-add s2d depthwise", chain_c),
+                     ("D shift-add f32 accum", chain_d)):
+        ra, rb = np.asarray(chain_a(xc), np.float32), None
+        rb = np.asarray(fn(xc), np.float32)
+        err = float(np.max(np.abs(ra - rb)) / (np.abs(ra).max() + 1e-6))
+        timed(f"chain {name} fwd", fn, xc)
+        timed(f"chain {name} fwd+bwd", fb(fn), xc)
+        print(f"{'':42s}  max rel err vs A: {err:.2e}")
+
+
 if __name__ == "__main__":
     if "--alt" in sys.argv:
         main_alt()
+        raise SystemExit
+    if "--chain" in sys.argv:
+        main_chain()
         raise SystemExit
     main()
