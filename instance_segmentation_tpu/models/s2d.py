@@ -175,48 +175,77 @@ def s2d_depthwise_kernel(kernel: jnp.ndarray, r_in: int, stride: int):
 
 
 def s2d_depthwise_shift(x: jnp.ndarray, kernel: jnp.ndarray, r: int,
-                        dtype=jnp.float32) -> jnp.ndarray:
-    """Stride-1 depthwise k x k SAME conv applied directly to an s2d(r)
-    tensor as k^2 shifted multiply-adds over (cell shift, phase) pairs — no
-    depth_to_space/space_to_depth roundtrip and no grouped conv.
+                        stride: int = 1, dtype=jnp.float32) -> jnp.ndarray:
+    """Depthwise k x k TF-SAME conv (stride | r) applied directly to an
+    s2d(r) tensor as k^2 * r_out^2 shifted multiply-adds over (cell shift,
+    phase) pairs — no depth_to_space/space_to_depth roundtrip and no grouped
+    conv. [B, hc, wc, C*r^2] x [kh, kw, 1, C] -> [B, hc, wc, C*r_out^2]
+    with r_out = r // stride (r_out == 1 exits to the standard dense layout
+    on the cell grid — the natural transition-block form).
 
-    [B, hc, wc, C*r^2] x depthwise [kh, kw, 1, C] -> [B, hc, wc, C*r^2].
+    Full-res output row (on the post-stride grid) r_out*i + py reached
+    through tap d is input row r*i + t with t = stride*py + d - pad_lo, so
+    each tap is a static slice [cell offset t//r, phase t%r] of the
+    cell-padded tensor — XLA fuses the whole thing into one vectorized
+    pass. pad_lo = max(k-stride,0)//2 is TF SAME (matches
+    _phase_selector_strided; for stride 1 this is the usual (k-1)//2).
+    Numerics match the conv (bf16 products accumulated in f32; products of
+    bf16 are exact in f32), only the summation order differs. Measured vs
+    the d2s/conv/s2d roundtrip at B3-stage-1 shapes: the expand->depthwise
+    ->project chain drops 15.5 -> 8.4 ms fwd+bwd and 8.3 -> 2.6 ms fwd
+    (tools/microbench_s2d.py --chain).
 
-    Full-res row 2*i + py reached through tap dy is row 2*(i + cell) + phase
-    with cell = (py+dy) // r, phase = (py+dy) % r, so each of the k^2 taps is
-    a static slice of the cell-padded tensor — XLA fuses the whole thing into
-    one vectorized pass. Numerics match the conv (bf16 products accumulated
-    in f32; products of bf16 are exact in f32), only the summation order
-    differs. Measured vs the d2s/conv/s2d roundtrip at B3-stage-1 shapes:
-    the expand->depthwise->project chain drops 15.5 -> 8.4 ms fwd+bwd and
-    8.3 -> 2.6 ms fwd (tools/microbench_s2d.py --chain)."""
+    MISCOMPILE GUARD (do not "simplify" this): the obvious single-tensor
+    form — reshape to [b,hc,wc,c,r,r], pad the cell dims, and take the k^2
+    taps as strided phase slices of the padded 6D tensor fused with the
+    multiply-adds — is MISCOMPILED by the TPU backend for c < ~96 (95% of
+    output elements wrong, f32 and bf16 alike; exact on CPU, exact at
+    c = 144). Minimal trigger: flat->6D reshape + 2D cell pad + a
+    boundary-crossing row slice + phase select + >= 3-term multiply-add
+    chain, all in one fusion. Splitting the input into r^2 dense 4D phase
+    planes behind jax.lax.optimization_barrier keeps that fusion from
+    forming; the 4D pad/slice/mul/add pattern verifies exact (fwd AND grad)
+    vs CPU across c in {8..144}, r in {2,4}, k in {3,5}, stride in {1,2}
+    (tools/check_tpu_parity.py --shift-sweep)."""
     kh, kw, _, c = kernel.shape
-    assert kh % 2 == 1 and kw % 2 == 1, "odd kernels only"
     b, hc, wc, cr = x.shape
     r2 = r * r
     assert cr == c * r2
-    ph, pw = (kh - 1) // 2, (kw - 1) // 2
-    xr = x.reshape(b, hc, wc, c, r, r)
-    cy_lo, cy_hi = (0 - ph) // r, (r - 1 + ph) // r
-    cx_lo, cx_hi = (0 - pw) // r, (r - 1 + pw) // r
-    xp = jnp.pad(xr, ((0, 0), (-cy_lo, cy_hi), (-cx_lo, cx_hi),
-                      (0, 0), (0, 0), (0, 0)))
+    r_out = r // stride
+    assert r_out * stride == r
+    py_lo, px_lo = max(kh - stride, 0) // 2, max(kw - stride, 0) // 2
+    xr = x.reshape(b, hc, wc, c, r2)
+    planes = jax.lax.optimization_barrier(
+        tuple(xr[..., q] for q in range(r2)))
+
+    def _bounds(k, p_lo):
+        ts = [q * stride + d - p_lo for q in range(r_out) for d in range(k)]
+        return min(t // r for t in ts), max(t // r for t in ts)
+
+    cy_lo, cy_hi = _bounds(kh, py_lo)
+    cx_lo, cx_hi = _bounds(kw, px_lo)
+    padded = [jnp.pad(p, ((0, 0), (-cy_lo, cy_hi), (-cx_lo, cx_hi), (0, 0)))
+              for p in planes]
     kd = kernel[:, :, 0, :].astype(dtype).astype(jnp.float32)
     phases = []
-    for py in range(r):
-        for px in range(r):
+    for py in range(r_out):
+        for px in range(r_out):
             acc = None
-            for dy in range(-ph, ph + 1):
-                for dx in range(-pw, pw + 1):
-                    cy, sy = (py + dy) // r, (py + dy) % r
-                    cx, sx = (px + dx) // r, (px + dx) % r
-                    src = xp[:, cy - cy_lo:cy - cy_lo + hc,
-                             cx - cx_lo:cx - cx_lo + wc, :, sy, sx]
-                    t = kd[dy + ph, dx + pw, :] * src.astype(jnp.float32)
+            for dy in range(kh):
+                for dx in range(kw):
+                    ty = stride * py + dy - py_lo
+                    tx = stride * px + dx - px_lo
+                    cy, sy = ty // r, ty % r
+                    cx, sx = tx // r, tx % r
+                    src = padded[sy * r + sx][:, cy - cy_lo:cy - cy_lo + hc,
+                                              cx - cx_lo:cx - cx_lo + wc, :]
+                    t = kd[dy, dx, :] * src.astype(jnp.float32)
                     acc = t if acc is None else acc + t
             phases.append(acc.astype(dtype))
-    out = jnp.stack(phases, axis=-1)           # [B, hc, wc, C, r^2]
-    return out.reshape(b, hc, wc, cr)
+    if r_out == 1:
+        return phases[0]                       # dense [B, hc, wc, C]
+    out = jnp.stack(phases, axis=-1)           # [B, hc, wc, C, r_out^2]
+    return out.reshape(b, hc, wc, c * r_out * r_out)
 
 
 def phase_pointwise(x: jnp.ndarray, kernel: jnp.ndarray, r: int,
@@ -426,23 +455,12 @@ class MBConvS2D(nn.Module):
         # The depthwise conv — the block's only spatial op. The grouped cell
         # conv (s2d_depthwise_kernel) is exact but its r^2-sized groups
         # lower catastrophically on TPU (94 ms fwd+bwd vs 10 for a full-res
-        # d2s/conv/s2d roundtrip at B3-stage-2 shapes). Stride 1 runs as k^2
-        # shifted multiply-adds directly on the s2d tensor — measured ~2x
-        # the whole chain vs the roundtrip (tools/microbench_s2d.py --chain).
-        # At stride 2 the full-res conv output IS the target layout
-        # (r_out*stride == r), so the roundtrip's exit is free; keep it.
-        if a.stride == 1:
-            x = s2d_depthwise_shift(x, kd, r, dtype=self.dtype)
-        else:
-            x = depth_to_space(x, r)
-            x = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kd.astype(self.dtype),
-                (a.stride, a.stride), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=expanded,
-                preferred_element_type=self.dtype)
-            if r_out > 1:
-                x = space_to_depth(x, r_out)
+        # d2s/conv/s2d roundtrip at B3-stage-2 shapes). Both strides run as
+        # shifted multiply-adds directly on the s2d tensor — no d2s/s2d
+        # roundtrip at all. Measured vs the roundtrip: stride-1 chain ~2x
+        # (tools/microbench_s2d.py --chain), stride-2 transition 2.2 vs
+        # 5.9 ms fwd / 2.9 vs 4.8 fwd+bwd (--stride2).
+        x = s2d_depthwise_shift(x, kd, r, stride=a.stride, dtype=self.dtype)
         x = BatchNorm(axis_name=self.axis_name, phases=r_out * r_out,
                       name="bn1")(x, train=train)
         x = swish(x)

@@ -25,6 +25,29 @@ def test_space_to_depth_roundtrip():
         np.testing.assert_array_equal(depth_to_space(y, r), x)
 
 
+@pytest.mark.parametrize("r,stride,k", [(2, 1, 3), (2, 1, 5), (2, 2, 3),
+                                         (2, 2, 5), (4, 1, 3), (4, 2, 3)])
+def test_s2d_depthwise_shift_exact(r, stride, k):
+    """The shifted multiply-add depthwise (both strides) equals the real
+    TF-SAME depthwise conv on the equivalent full-res tensor. (CPU math
+    check; the TPU-backend check — where the naive formulation of this op
+    MISCOMPILES — is tools/check_tpu_parity.py --shift-sweep.)"""
+    from instance_segmentation_tpu.models.s2d import s2d_depthwise_shift
+    rng = np.random.default_rng(11)
+    B, H, W, C = 2, 16, 24, 5
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    kd = jnp.asarray(rng.normal(size=(k, k, 1, C)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, kd, (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+    r_out = r // stride
+    ref = space_to_depth(ref, r_out) if r_out > 1 else ref
+    got = s2d_depthwise_shift(space_to_depth(x, r), kd, r, stride=stride)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
 @pytest.mark.parametrize("r", [2, 4])
 def test_s2d_conv_kernel_exact(r):
     rng = np.random.default_rng(1)

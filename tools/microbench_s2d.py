@@ -253,11 +253,50 @@ def main_chain():
         print(f"{'':42s}  max rel err vs A: {err:.2e}")
 
 
+def main_stride2():
+    """The stride-2 transition depthwise (stage-2 entry: s2d(2) cells in,
+    dense /4 out): d2s + full-res grouped stride-2 conv (current) vs the
+    strided shift-add form (9 multiply-adds, no transpose at all)."""
+    rng = np.random.default_rng(0)
+    from instance_segmentation_tpu.models.s2d import (
+        depth_to_space, s2d_depthwise_shift)
+    Hc, Wc = H // R, W // R
+    xec = jnp.asarray(rng.normal(size=(B, Hc, Wc, E * R * R)), DT)
+    kd = jnp.asarray(rng.normal(size=(3, 3, 1, E)), jnp.float32)
+
+    def roundtrip(a):
+        f = depth_to_space(a, R)
+        return jax.lax.conv_general_dilated(
+            f, kd.astype(DT), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=E, preferred_element_type=DT)
+
+    def shift(a):
+        return s2d_depthwise_shift(a, kd, R, stride=2, dtype=DT)
+
+    def fb(fn):
+        def f(a):
+            return jax.grad(lambda z: jnp.sum(fn(z).astype(jnp.float32)))(a)
+        return f
+
+    ra = np.asarray(jax.jit(roundtrip)(xec), np.float32)
+    rb = np.asarray(jax.jit(shift)(xec), np.float32)
+    err = float(np.max(np.abs(ra - rb)) / (np.abs(ra).max() + 1e-6))
+    timed("s2 dw roundtrip fwd", roundtrip, xec)
+    timed("s2 dw roundtrip fwd+bwd", fb(roundtrip), xec)
+    timed("s2 dw shift-add fwd", shift, xec)
+    timed("s2 dw shift-add fwd+bwd", fb(shift), xec)
+    print(f"{'':42s}  max rel err: {err:.2e}")
+
+
 if __name__ == "__main__":
     if "--alt" in sys.argv:
         main_alt()
         raise SystemExit
     if "--chain" in sys.argv:
         main_chain()
+        raise SystemExit
+    if "--stride2" in sys.argv:
+        main_stride2()
         raise SystemExit
     main()
