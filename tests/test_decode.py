@@ -94,6 +94,30 @@ def test_select_peaks():
     assert 5 * 48 + 8 not in peaks
 
 
+def test_select_peaks_approx_topk():
+    """The exact_topk=False branch (lax.approx_max_k, DecodeConfig docstring):
+    well-separated peaks far above the selection threshold must be found
+    identically to the exact path — approximation only reorders membership
+    near the k-th value."""
+    from instance_segmentation_tpu.ops.decode import select_peaks_batch
+    rng = np.random.default_rng(7)
+    hm = rng.uniform(0.0, 0.1, size=(2, 64, 96)).astype(np.float32)
+    strong = [(5, 7), (20, 30), (40, 80)]
+    for b in range(2):
+        for i, (y, x) in enumerate(strong):
+            hm[b, y, x] = 3.0 + i
+    idx_e, ok_e = jax.jit(lambda h: select_peaks_batch(h, 64, exact=True))(
+        jnp.asarray(hm))
+    idx_a, ok_a = jax.jit(lambda h: select_peaks_batch(h, 64, exact=False))(
+        jnp.asarray(hm))
+    for b in range(2):
+        exact_peaks = set(map(int, np.asarray(idx_e)[b][np.asarray(ok_e)[b]]))
+        approx_peaks = set(map(int, np.asarray(idx_a)[b][np.asarray(ok_a)[b]]))
+        for y, x in strong:
+            assert y * 96 + x in exact_peaks
+            assert y * 96 + x in approx_peaks
+
+
 def test_exact_topk_indices():
     from instance_segmentation_tpu.ops.decode import exact_topk_indices
     rng = np.random.default_rng(3)

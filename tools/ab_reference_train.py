@@ -31,19 +31,27 @@ REF = "/root/reference"
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
-def main(steps: int, out: str, lr: float, batch: int, compound: int):
+def main(steps: int, out: str, lr: float, batch: int, compound: int,
+         seed: int = 1, train_n: int = 4, val_n: int = 0):
     from bench_reference_decode import _stub_torchvision
     from make_synthetic_cityscapes import generate
 
-    # identical synthetic tree to tools/overfit_demo.py (same generator+seed)
+    # identical synthetic tree to tools/overfit_demo.py (same generator+seed).
+    # val_n > 0 generates a DISJOINT held-out val split (generalization A/B,
+    # round-3 verdict item 2); val_n == 0 keeps the legacy overfit protocol
+    # (val = copy of train).
     root = os.path.join(out, "data")
     if not os.path.isdir(root):
-        generate(root, splits=(("train", 4),), h=512, w=1024, seed=21,
-                 instances=(2, 4))
-        shutil.copytree(os.path.join(root, "leftImg8bit", "train"),
-                        os.path.join(root, "leftImg8bit", "val"))
-        shutil.copytree(os.path.join(root, "gtFine", "train"),
-                        os.path.join(root, "gtFine", "val"))
+        if val_n > 0:
+            generate(root, splits=(("train", train_n), ("val", val_n)),
+                     h=512, w=1024, seed=21, instances=(2, 4))
+        else:
+            generate(root, splits=(("train", train_n),), h=512, w=1024,
+                     seed=21, instances=(2, 4))
+            shutil.copytree(os.path.join(root, "leftImg8bit", "train"),
+                            os.path.join(root, "leftImg8bit", "val"))
+            shutil.copytree(os.path.join(root, "gtFine", "train"),
+                            os.path.join(root, "gtFine", "val"))
 
     import torch
     torch.set_num_threads(os.cpu_count() or 1)
@@ -61,8 +69,8 @@ def main(steps: int, out: str, lr: float, batch: int, compound: int):
         sys.modules["pycocotools.coco"] = pc.coco
     sys.path.insert(0, REF)
     import numpy as np
-    np.random.seed(1)
-    torch.random.manual_seed(1)
+    np.random.seed(seed)
+    torch.random.manual_seed(seed)
 
     import data as ref_data
     from configs import Configer
@@ -91,8 +99,9 @@ def main(steps: int, out: str, lr: float, batch: int, compound: int):
     optimizer = torch.optim.Adam(model.parameters(), lr=lr)
     loss_fn = ComposeLoss(device)
 
-    ckpt = os.path.join(out, "ref_final.pth")
-    resume = os.path.join(out, "ref_resume.pth")
+    suffix = "" if seed == 1 and val_n == 0 else f"_s{seed}"
+    ckpt = os.path.join(out, f"ref_final{suffix}.pth")
+    resume = os.path.join(out, f"ref_resume{suffix}.pth")
     it, t0 = 0, time.time()
     if os.path.exists(resume):
         blob = torch.load(resume, map_location="cpu")
@@ -130,5 +139,9 @@ if __name__ == "__main__":
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--compound", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--train_n", type=int, default=4)
+    ap.add_argument("--val_n", type=int, default=0,
+                    help=">0 trains/evals with a DISJOINT held-out val split")
     a = ap.parse_args()
-    main(a.steps, a.out, a.lr, a.batch, a.compound)
+    main(a.steps, a.out, a.lr, a.batch, a.compound, a.seed, a.train_n, a.val_n)
