@@ -281,13 +281,39 @@ def _any_points(cnt):
     instance (gates the unwindowed d_max passes); cntp is the per-instance
     version (extends the per-(tile, instance) skip test so the pull term
     covers samples outside the focal window — see _tile_hit). cntp's tile
-    axis is flattened so its SMEM window stays small (see _tile_hit)."""
+    axis is flattened so its SMEM window stays small (see _tile_hit).
+
+    NB: prefer _any_points_from_points on the hot path — this dense-map form
+    lowers to a strided [B,M,nh,TH,nw,TW] reduction that measured 9.8 ms at
+    B3 batch-4 shapes (~41 GB/s, 20x off the HBM roofline); kept for tests
+    and as the semantics oracle."""
     B, M, H, W = cnt.shape
     nh, nw = H // _TH, W // _TW
     t = (cnt.astype(jnp.int32)
          .reshape(B, M, nh, _TH, nw, _TW).sum(axis=(3, 5)))        # [B,M,nh,nw]
     cntp = (t > 0).astype(jnp.float32).reshape(B, M, nh * nw)
     anyp = (t.sum(axis=1) > 0).astype(jnp.float32)
+    return anyp, cntp
+
+
+def _any_points_from_points(points, pt_valid, h, w):
+    """Same (anyp, cntp) tables computed from the COMPACT boundary point list
+    [B, M, P, 2] instead of the dense [B, M, H, W] count map: one fused
+    [B, M, P, n_tiles] compare-sum (n_tiles = 32 at 512x1024) instead of a
+    400 MB strided reduction. Identical values: a tile holds a sample of
+    instance m iff some valid point (clipped exactly like ae_sample_count's
+    scatter) lands in it."""
+    B, M, P, _ = points.shape
+    nh, nw = h // _TH, w // _TW
+    nt = nh * nw
+    tr = jnp.clip(points[..., 0], 0, h - 1) // _TH
+    tc = jnp.clip(points[..., 1], 0, w - 1) // _TW
+    tid = (tr * nw + tc).astype(jnp.int32)                        # [B,M,P]
+    hit = ((tid[..., None] == jnp.arange(nt, dtype=jnp.int32))
+           & pt_valid[..., None])                                 # [B,M,P,nt]
+    cnt_t = jnp.sum(hit, axis=2, dtype=jnp.int32)                 # [B,M,nt]
+    cntp = (cnt_t > 0).astype(jnp.float32)
+    anyp = (jnp.sum(cnt_t, axis=1) > 0).astype(jnp.float32).reshape(B, nh, nw)
     return anyp, cntp
 
 

@@ -413,7 +413,8 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
     if impl == "pallas":
         from instance_segmentation_tpu.losses import ae_pallas
         tab = ae_pallas._pack_table(c_emb, lt, rb, valid)
-        anyp, cntp = ae_pallas._any_points(cnt)
+        anyp, cntp = ae_pallas._any_points_from_points(
+            targets.points, targets.pt_valid, H, W)
         table = tuple(sorted(_NEG4_TABLE.items()))
         pos, neg, npos, pull = ae_pallas.ae_terms(
             e[..., 0], e[..., 1], s[..., 0], s[..., 1], r2, cnt, table,

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from instance_segmentation_tpu.models.layers import (
-    BatchNorm, ConvSame, SeparableConv, max_pool_same, swish, upsample_nearest_2x,
+    BatchNorm, ConvSame, SeparableConv, max_pool_same, pin_data_sharding,
+    swish, upsample_nearest_2x,
 )
 
 
@@ -135,6 +136,11 @@ class BiFPN(nn.Module):
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
         for i in range(self.repeats):
+            # pyramid maps are tiny — pin them to batch-only sharding at
+            # every cell boundary (see layers.pin_data_sharding: W-sharding
+            # buys nothing here and chained cells hit a partitioner bug
+            # producing wrong gradients under the spatial mesh axis)
+            feats = [pin_data_sharding(f) for f in feats]
             feats = BiFPNCell(
                 num_channels=self.num_channels,
                 conv_channels=self.conv_channels,
@@ -145,4 +151,4 @@ class BiFPN(nn.Module):
                 axis_name=self.axis_name,
                 name=f"cell{i}",
             )(feats, train=train)
-        return feats
+        return [pin_data_sharding(f) for f in feats]

@@ -40,6 +40,29 @@ BN_MOMENTUM_UNET = 0.9
 BN_EPS_UNET = 1e-5
 
 
+def pin_data_sharding(x: jnp.ndarray) -> jnp.ndarray:
+    """Constrain ``x`` to batch-only ("data"-axis) sharding when an ambient
+    mesh with a "data" axis is active; identity otherwise (single-device jit
+    traces see an empty abstract mesh).
+
+    Why: the "spatial" (image-W) mesh axis exists for the FULL-RESOLUTION
+    dense decoder, where W-sharding genuinely splits work. The tiny pyramid
+    maps (P3..P7 down to 1-2 pixels per shard) gain nothing from it — and
+    letting GSPMD keep them W-sharded is where the round-4 multichip
+    equivalence gate caught composition-dependent WRONG GRADIENTS: every
+    BiFPN primitive (sep-conv, BN, max-pool, upsample, fusion) is backward-
+    exact under the spatial mesh in isolation and a single BiFPN cell is
+    exact (rel ~1e-6), but two chained cells produce grad rel ~0.4 and the
+    full model ~0.28 (XLA SPMD partitioner, CPU backend; jax 0.9.0). Pinning
+    the pyramid path to data-only sharding removes the buggy partitioning
+    AND is the right layout anyway (no halo churn on 4x8 maps)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty or "data" not in mesh.axis_names:
+        return x
+    from jax.sharding import PartitionSpec as P
+    return jax.lax.with_sharding_constraint(x, P("data"))
+
+
 @jax.custom_vjp
 def swish(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(x)
@@ -179,9 +202,17 @@ class _FastBN(nn.Module):
 
         if train and self.axis_name is None:
             # fused custom-VJP fast path (GSPMD: sharded-batch reductions are
-            # global automatically, so this stays a synchronized BN)
-            y, mean, var = _bn_train(x, scale, bias, float(self.epsilon),
-                                     self.phases)
+            # global automatically, so this stays a synchronized BN).
+            # ISEG_BN_AUTODIFF=1 routes through the plain math (XLA autodiff)
+            # for A/B-measuring the custom backward's layout cost.
+            import os as _os
+            if _os.environ.get("ISEG_BN_AUTODIFF"):
+                y, mean, var, _ = _bn_train_math(x, scale, bias,
+                                                 float(self.epsilon),
+                                                 self.phases)
+            else:
+                y, mean, var = _bn_train(x, scale, bias, float(self.epsilon),
+                                         self.phases)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean

@@ -32,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
-         quant_ab: bool = False, train_n: int = 4, val_n: int = 0):
+         quant_ab: bool = False, train_n: int = 4, val_n: int = 0,
+         seed: int = 0, data: str | None = None):
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -53,7 +54,12 @@ def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
     from instance_segmentation_tpu.transforms import CommonTransforms
     from instance_segmentation_tpu.utils.logger import Logger
 
-    root = os.path.join(out, "data")
+    # --data shares one synthetic tree across seeds / across the torch-ref
+    # A/B (the generator is deterministic at seed 21, so trees are identical
+    # anyway — sharing just skips regeneration, so `out` must be created
+    # explicitly here).
+    os.makedirs(out, exist_ok=True)
+    root = data or os.path.join(out, "data")
     if not os.path.isdir(root):
         if val_n > 0:
             # generalization protocol: disjoint val split (not overfit)
@@ -73,16 +79,16 @@ def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
         "normalize": {"div_value": 255.0, "mean": [0.485, 0.456, 0.406],
                       "std": [0.229, 0.224, 0.225]}})
     loader = get_dataloader(2, "cityscapes", root, "train",
-                            transforms=CommonTransforms(trans, "train", seed=0),
-                            max_instances=16, max_verts=64, seed=0)
+                            transforms=CommonTransforms(trans, "train", seed=seed),
+                            max_instances=16, max_verts=64, seed=seed)
 
     H, W = 256, 512
     model = EfficientSeg(EfficientSegConfig(
         num_classes=8, compound_coef=0, compute_dtype=jnp.bfloat16))
-    state = create_train_state(model, jax.random.PRNGKey(0), (1, H, W, 3),
+    state = create_train_state(model, jax.random.PRNGKey(seed), (1, H, W, 3),
                                make_optimizer("Adam", lr))
     step = make_train_step(model, H, W, max_points=512)
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.PRNGKey(seed + 1)
 
     ckpt_path = os.path.join(out, "final_params.npz")
     if steps == 0 and os.path.exists(ckpt_path):
@@ -162,5 +168,10 @@ if __name__ == "__main__":
     ap.add_argument("--quant_ab", action="store_true",
                     help="after the float eval, re-evaluate the same weights "
                          "through the int8 inference path and report the AP delta")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="model-init / shuffle / train-rng seed (the synthetic "
+                         "data tree itself stays pinned at generator seed 21)")
+    ap.add_argument("--data", default=None,
+                    help="existing synthetic tree to reuse (skips generation)")
     a = ap.parse_args()
-    main(a.steps, a.lr, a.out, a.quant_ab, a.train_n, a.val_n)
+    main(a.steps, a.lr, a.out, a.quant_ab, a.train_n, a.val_n, a.seed, a.data)
