@@ -2,7 +2,10 @@
 """Benchmark: Cityscapes-frame inference + fully on-device decode, img/s/chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N,
+     "batch1_value": N, "train_value": N, "train_batch": 8}
+(train_value = full compiled training-step img/s at ISEG_BENCH_TRAIN_BATCH,
+default 8; skip with ISEG_BENCH_SKIP_TRAIN=1.)
 
 `ISEG_BENCH_TRAIN=1` (or --train) benchmarks the FULL compiled training
 step instead (on-device targets + 4 losses + grads + Adam, B3 512x1024,
@@ -43,7 +46,9 @@ def _force_factory(jax, jnp):
     return force
 
 
-def bench_train():
+def _measure_train(B: int) -> float:
+    """img/s of the FULL compiled training step at batch B (B3 512x1024,
+    on-device targets + 4 losses + grads + Adam). Returns img/s."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -55,7 +60,6 @@ def bench_train():
 
     force = _force_factory(jax, jnp)
     H, W, M, P = 512, 1024, 96, 1024
-    B = int(os.environ.get("ISEG_BENCH_TRAIN_BATCH", "4"))
     model = EfficientSeg(EfficientSegConfig(
         num_classes=8, compound_coef=3, compute_dtype=jnp.bfloat16))
     state = create_train_state(model, jax.random.PRNGKey(0), (1, H, W, 3),
@@ -86,6 +90,13 @@ def bench_train():
         r = step(state, images, polys, n_verts, cls_ids, srng)
     force(r)
     dt = (time.time() - t) / (iters * B)
+    return 1.0 / dt
+
+
+def bench_train():
+    """ISEG_BENCH_TRAIN=1 path: one JSON line with the train metric only."""
+    B = int(os.environ.get("ISEG_BENCH_TRAIN_BATCH", "4"))
+    ips = _measure_train(B)
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
@@ -94,11 +105,12 @@ def bench_train():
             base = json.load(f)
         entry = base.get("reference_train_imgs_per_sec")
         if entry and entry.get("value"):
-            vs_baseline = round(1.0 / dt / float(entry["value"]), 3)
+            vs_baseline = round(ips / float(entry["value"]), 3)
     print(json.dumps({
         "metric": "cityscapes_b3_512x1024_train_imgs_per_sec_per_chip",
-        "value": round(1.0 / dt, 3),
+        "value": round(ips, 3),
         "unit": "img/s",
+        "batch": B,
         "vs_baseline": vs_baseline,
     }))
 
@@ -191,6 +203,13 @@ def main():
     if batch1_ips is not None:
         out["batch1_value"] = round(batch1_ips, 3)
         out["batch"] = BATCH
+    # train throughput in the SAME line so BENCH_r*.json tracks it per round
+    # (round-4 verdict item 5d). ISEG_BENCH_SKIP_TRAIN=1 opts out (e.g. when
+    # the compile cache is cold and the b8 train compile would time out).
+    if not os.environ.get("ISEG_BENCH_SKIP_TRAIN"):
+        tb = int(os.environ.get("ISEG_BENCH_TRAIN_BATCH", "8"))
+        out["train_value"] = round(_measure_train(tb), 3)
+        out["train_batch"] = tb
     print(json.dumps(out))
 
 

@@ -13,6 +13,7 @@ Loss names and weighting match the reference exactly:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -417,13 +418,22 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
 
     if cnt is None:
         cnt = ae_sample_count(targets, H, W)
-    imp = cnt > 0
-    r2 = _shift_min_r2(imp)                                         # [B,M,H,W] u8
 
     valid = targets.inst_valid
 
     if impl == "pallas":
-        from instance_segmentation_tpu.losses import ae_pallas
+        from instance_segmentation_tpu.losses import ae_pallas, minr2_pallas
+        if (minr2_pallas.supported(H, W)
+                and not os.environ.get("ISEG_MINR2_XLA")
+                and (minr2_pallas.INTERPRET
+                     or jax.default_backend() == "tpu")):
+            # slab-streaming kernel: every XLA lowering of the shifted-min
+            # measured ~7 ms at b4 (tools/microbench_minr2.py); padding-slot
+            # slabs (no valid points) skip compute entirely
+            has_pts = jnp.any(targets.pt_valid, axis=2).astype(jnp.float32)
+            r2 = minr2_pallas.minr2_from_cnt(cnt, has_pts)
+        else:
+            r2 = _shift_min_r2(cnt > 0)                             # [B,M,H,W] u8
         tab = ae_pallas._pack_table(c_emb, lt, rb, valid)
         anyp, cntp = ae_pallas._any_points_from_points(
             targets.points, targets.pt_valid, H, W)
@@ -434,6 +444,8 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
         i_loss = jnp.where(npos == 0, -neg,
                            -(pos + neg) / jnp.clip(npos, 1.0, None))
         return i_loss, pull * valid.astype(jnp.float32)
+
+    r2 = _shift_min_r2(cnt > 0)                                     # [B,M,H,W] u8
 
     def focal_terms(e, s):
         # fully fused [B,M,H,W] chain; checkpointed so backward recomputes.

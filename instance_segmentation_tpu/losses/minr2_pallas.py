@@ -1,0 +1,95 @@
+"""Pallas TPU kernel for the separable min-squared-distance pass.
+
+Computes ``losses._shift_min_r2(cnt > 0)`` — the uint8 map of min
+dy^2 + dx^2 to a boundary-sample pixel within the radius-3 max-norm window
+(the reference gaussian stamp support, ref target_generator.py:274-278 /
+loss.py:288-295 semantics) — directly from the u16 per-instance sample-count
+map, one [H, W] slab per grid step.
+
+Why: every XLA lowering of the shifted-min measured ~7 ms at B3 batch-4
+shapes (tools/microbench_minr2.py: stacked-u8 7.41, pairwise-tree 7.09,
+rows-first 6.98, i32 20.8) — 5-7x off the HBM roofline for its ~1 GB of
+logical traffic, because the 7-slice stacked min materializes intermediate
+copies. Here each (image, instance) slab streams through VMEM once:
+read u16 [H, W], two in-register roll/min passes, write u8 [H, W] — and
+slabs of instances with NO valid boundary points (the ~85% padding slots of
+the [B, M] instance axis) skip the compute entirely and just store the BIG
+sentinel.
+
+Exactness: integer min/add in f32 (values <= 218 << 2^24) — bit-identical
+to the XLA path's u8 arithmetic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INTERPRET = False   # tests set True to run the kernel on CPU
+
+_BIG = 200.0        # matches losses._R2_BIG
+
+
+def _roll(x, shift, axis):
+    if INTERPRET:
+        # pltpu.roll has no CPU-interpret lowering; jnp.roll matches it
+        return jnp.roll(x, shift, axis)
+    return pltpu.roll(x, shift, axis)
+
+
+def _axis_min(x, axis, size, radius):
+    """min over o in [-radius, radius] of (x shifted by o along axis) + o^2,
+    with out-of-range neighbours BIG (the reference stamp clips at borders)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    r = x
+    for o in range(1, radius + 1):
+        plus = jnp.where(idx < size - o, _roll(x, -o, axis), _BIG)   # x[j+o]
+        minus = jnp.where(idx >= o, _roll(x, o, axis), _BIG)         # x[j-o]
+        r = jnp.minimum(r, jnp.minimum(plus, minus) + float(o * o))
+    return r
+
+
+def _make_kernel(h, w, radius):
+    def kernel(has_ref, cnt_ref, out_ref):
+        m = pl.program_id(1)
+
+        @pl.when(has_ref[0, m] > 0.0)
+        def _():
+            x = jnp.where(cnt_ref[0, 0] > 0, 0.0, _BIG)          # f32 [H, W]
+            col = _axis_min(x, 1, w, radius)                     # lanes
+            out = _axis_min(col, 0, h, radius)                   # sublanes
+            out_ref[0, 0] = out.astype(jnp.uint8)
+
+        @pl.when(has_ref[0, m] <= 0.0)
+        def _():
+            out_ref[0, 0] = jnp.full((h, w), int(_BIG), jnp.uint8)
+
+    return kernel
+
+
+def supported(h, w):
+    return h % 8 == 0 and w % 128 == 0
+
+
+def minr2_from_cnt(cnt: jnp.ndarray, has_pts: jnp.ndarray,
+                   radius: int = 3) -> jnp.ndarray:
+    """cnt [B, M, H, W] u16; has_pts [B, M] f32 (1.0 where the instance has
+    any valid boundary point — slabs with 0 skip compute). Returns the u8
+    min-r2 map, bit-identical to ``_shift_min_r2(cnt > 0)``."""
+    B, M, H, W = cnt.shape
+    return pl.pallas_call(
+        _make_kernel(H, W, radius),
+        grid=(B, M),
+        in_specs=[
+            pl.BlockSpec((1, M), lambda b, m: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, H, W), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H, W), lambda b, m: (b, m, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, H, W), jnp.uint8),
+        interpret=INTERPRET,
+    )(has_pts, cnt)

@@ -32,21 +32,26 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 def main(steps: int, out: str, lr: float, batch: int, compound: int,
-         seed: int = 1, train_n: int = 4, val_n: int = 0):
+         seed: int = 1, train_n: int = 4, val_n: int = 0,
+         gen_hw: tuple[int, int] = (512, 1024)):
     from bench_reference_decode import _stub_torchvision
     from make_synthetic_cityscapes import generate
 
     # identical synthetic tree to tools/overfit_demo.py (same generator+seed).
     # val_n > 0 generates a DISJOINT held-out val split (generalization A/B,
     # round-3 verdict item 2); val_n == 0 keeps the legacy overfit protocol
-    # (val = copy of train).
+    # (val = copy of train). gen_hw scales the generated frames (instance
+    # radius scales with min(h,w), so the task is resolution-covariant);
+    # the model input is gen_hw/2 via resize target_size 2, same as the
+    # reference's shipped half-res protocol.
+    gh, gw = gen_hw
     root = os.path.join(out, "data")
     if not os.path.isdir(root):
         if val_n > 0:
             generate(root, splits=(("train", train_n), ("val", val_n)),
-                     h=512, w=1024, seed=21, instances=(2, 4))
+                     h=gh, w=gw, seed=21, instances=(2, 4))
         else:
-            generate(root, splits=(("train", train_n),), h=512, w=1024,
+            generate(root, splits=(("train", train_n),), h=gh, w=gw,
                      seed=21, instances=(2, 4))
             shutil.copytree(os.path.join(root, "leftImg8bit", "train"),
                             os.path.join(root, "leftImg8bit", "val"))
@@ -143,5 +148,8 @@ if __name__ == "__main__":
     ap.add_argument("--train_n", type=int, default=4)
     ap.add_argument("--val_n", type=int, default=0,
                     help=">0 trains/evals with a DISJOINT held-out val split")
+    ap.add_argument("--gen_hw", type=int, nargs=2, default=(512, 1024),
+                    help="generated frame size (model input = half this)")
     a = ap.parse_args()
-    main(a.steps, a.out, a.lr, a.batch, a.compound, a.seed, a.train_n, a.val_n)
+    main(a.steps, a.out, a.lr, a.batch, a.compound, a.seed, a.train_n, a.val_n,
+         tuple(a.gen_hw))

@@ -101,11 +101,25 @@ def main():
             [p[..., :, i:i + WW] + jnp.uint8((i - radius) ** 2)
              for i in range(k)], axis=0), axis=0)
 
+    from instance_segmentation_tpu.losses.minr2_pallas import minr2_from_cnt
+
+    has_all = jnp.ones((B, M), jnp.float32)
+    # realistic skip pattern: only the first 16 instance slots hold points
+    has_16 = jnp.asarray(
+        (np.arange(M) < 16)[None, :].repeat(B, 0).astype(np.float32))
+    cnt16 = jnp.asarray(np.where((np.arange(M) < 16)[None, :, None, None],
+                                 np.asarray(cnt), 0).astype(np.uint16))
+
     variants = [
-        ("current (stack u8)", jax.jit(lambda c: _shift_min_r2(c > 0))),
-        ("tree u8", jax.jit(lambda c: v_tree(c > 0))),
-        ("i32 lanes", jax.jit(lambda c: v_i32(c > 0))),
-        ("rows-first u8", jax.jit(lambda c: v_rows_first(c > 0))),
+        ("current (stack u8)", jax.jit(lambda c: _shift_min_r2(c > 0)), cnt),
+        ("tree u8", jax.jit(lambda c: v_tree(c > 0)), cnt),
+        ("i32 lanes", jax.jit(lambda c: v_i32(c > 0)), cnt),
+        ("rows-first u8", jax.jit(lambda c: v_rows_first(c > 0)), cnt),
+        ("pallas slab (all live)",
+         jax.jit(lambda c: minr2_from_cnt(c, has_all)), cnt),
+        ("xla on 16-live", jax.jit(lambda c: _shift_min_r2(c > 0)), cnt16),
+        ("pallas slab (16 live, skip)",
+         jax.jit(lambda c: minr2_from_cnt(c, has_16)), cnt16),
     ]
 
     ref = None

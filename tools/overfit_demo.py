@@ -33,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
          quant_ab: bool = False, train_n: int = 4, val_n: int = 0,
-         seed: int = 0, data: str | None = None):
+         seed: int = 0, data: str | None = None,
+         gen_hw: tuple[int, int] = (512, 1024)):
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -59,14 +60,15 @@ def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
     # anyway — sharing just skips regeneration, so `out` must be created
     # explicitly here).
     os.makedirs(out, exist_ok=True)
+    gh, gw = gen_hw
     root = data or os.path.join(out, "data")
     if not os.path.isdir(root):
         if val_n > 0:
             # generalization protocol: disjoint val split (not overfit)
             generate(root, splits=(("train", train_n), ("val", val_n)),
-                     h=512, w=1024, seed=21, instances=(2, 4))
+                     h=gh, w=gw, seed=21, instances=(2, 4))
         else:
-            generate(root, splits=(("train", train_n),), h=512, w=1024,
+            generate(root, splits=(("train", train_n),), h=gh, w=gw,
                      seed=21, instances=(2, 4))
             shutil.copytree(os.path.join(root, "leftImg8bit", "train"),
                             os.path.join(root, "leftImg8bit", "val"))
@@ -82,7 +84,7 @@ def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
                             transforms=CommonTransforms(trans, "train", seed=seed),
                             max_instances=16, max_verts=64, seed=seed)
 
-    H, W = 256, 512
+    H, W = gh // 2, gw // 2
     model = EfficientSeg(EfficientSegConfig(
         num_classes=8, compound_coef=0, compute_dtype=jnp.bfloat16))
     state = create_train_state(model, jax.random.PRNGKey(seed), (1, H, W, 3),
@@ -134,7 +136,7 @@ def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
                          "obj_pixel_th": 2, "wh_delta": 0.1, "draw_flag": False})
     _, ap, results = evaluate_model(
         data_cfg, eval_loader, None, model, state, 0, "cityscapes",
-        decode_cfg, Logger(save_dir), input_hw=(H, W), orig_hw=(512, 1024))
+        decode_cfg, Logger(save_dir), input_hw=(H, W), orig_hw=(gh, gw))
     out_json = {"AP": results["AP"], "AP50": results["AP50"]}
 
     if quant_ab:
@@ -149,7 +151,7 @@ def main(steps: int = 2400, lr: float = 3e-4, out: str = "/tmp/iseg_overfit",
                         "eval_dir": root, "train_dir": root})
         _, _, q_results = evaluate_model(
             q_cfg, eval_loader, None, q_model, state, 0, "cityscapes",
-            decode_cfg, Logger(q_dir), input_hw=(H, W), orig_hw=(512, 1024))
+            decode_cfg, Logger(q_dir), input_hw=(H, W), orig_hw=(gh, gw))
         out_json["AP_int8"] = q_results["AP"]
         out_json["AP50_int8"] = q_results["AP50"]
         out_json["dAP_int8"] = q_results["AP"] - results["AP"]
@@ -173,5 +175,8 @@ if __name__ == "__main__":
                          "data tree itself stays pinned at generator seed 21)")
     ap.add_argument("--data", default=None,
                     help="existing synthetic tree to reuse (skips generation)")
+    ap.add_argument("--gen_hw", type=int, nargs=2, default=(512, 1024),
+                    help="generated frame size (model input = half this)")
     a = ap.parse_args()
-    main(a.steps, a.lr, a.out, a.quant_ab, a.train_n, a.val_n, a.seed, a.data)
+    main(a.steps, a.lr, a.out, a.quant_ab, a.train_n, a.val_n, a.seed, a.data,
+         tuple(a.gen_hw))
