@@ -28,7 +28,7 @@ _EPS = 1e-4
 
 def _compacted_scatter_add(vals: jnp.ndarray, flat_idx: jnp.ndarray,
                            valid: jnp.ndarray, out_size: int, budget: int,
-                           out_dtype, unit=None):
+                           out_dtype, unit=None, planar: bool = False):
     """Scatter-add ``vals`` [B, S, C] (or counts when ``vals`` is None) at
     per-image flat indices [B, S] into a flat [out_size, C] buffer, routing
     the work through a COMPACTED [B, budget] slot list when every image's
@@ -43,14 +43,26 @@ def _compacted_scatter_add(vals: jnp.ndarray, flat_idx: jnp.ndarray,
     """
     B, S = flat_idx.shape
     C = 0 if vals is None else vals.shape[-1]
-    shape = (out_size,) if vals is None else (out_size, C)
+    # planar=True scatters each of the C channels into its OWN flat
+    # [out_size] buffer instead of one [out_size, C] buffer: a trailing dim
+    # of C < 128 pads the TPU lane dim 128/C x, so the [out_size, 2] f32
+    # scatter's zero-init + update passes cost 64x their logical bytes
+    # (measured 11.8 vs 4.4 ms for 2x flat at b8, tools/microbench_scatter2).
+    shape = (out_size,) if (vals is None or planar) else (out_size, C)
     zeros = jnp.zeros(shape, out_dtype)
 
-    def full(_):
+    def _scatter(idx_flat, v):
         if vals is None:
-            return zeros.at[flat_idx.reshape(-1)].add(unit, mode="drop")
-        return zeros.at[flat_idx.reshape(-1)].add(
-            vals.reshape(-1, C).astype(out_dtype), mode="drop")
+            return zeros.at[idx_flat].add(unit, mode="drop")
+        if planar:
+            return tuple(zeros.at[idx_flat].add(
+                v[..., c].reshape(-1).astype(out_dtype), mode="drop")
+                for c in range(C))
+        return zeros.at[idx_flat].add(
+            v.reshape(-1, C).astype(out_dtype), mode="drop")
+
+    def full(_):
+        return _scatter(flat_idx.reshape(-1), vals)
 
     if budget <= 0 or budget >= S:
         return full(None)
@@ -62,10 +74,9 @@ def _compacted_scatter_add(vals: jnp.ndarray, flat_idx: jnp.ndarray,
         idx = jnp.take_along_axis(flat_idx, sel, axis=1)
         idx = jnp.where(live, idx, out_size)                    # drop padding
         if vals is None:
-            return zeros.at[idx.reshape(-1)].add(unit, mode="drop")
-        v = jnp.take_along_axis(
-            vals, sel[..., None], axis=1).astype(out_dtype)     # [B,budget,C]
-        return zeros.at[idx.reshape(-1)].add(v.reshape(-1, C), mode="drop")
+            return _scatter(idx.reshape(-1), None)
+        v = jnp.take_along_axis(vals, sel[..., None], axis=1)   # [B,budget,C]
+        return _scatter(idx.reshape(-1), v)
 
     fits = jnp.max(jnp.sum(valid, axis=1, dtype=jnp.int32)) <= budget
     return jax.lax.cond(fits, compact, full, None)
@@ -230,13 +241,19 @@ def focal_heatmap_loss(pred: jnp.ndarray, gt: jnp.ndarray,
     return jnp.where(num_pos == 0, -neg_loss, -(pos_loss + neg_loss) / jnp.clip(num_pos, 1.0, None))
 
 
+def _kp_plane(kp_logits: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W,1] or planar [B,H,W] logits -> [B,H,W]."""
+    return kp_logits if kp_logits.ndim == 3 else kp_logits[..., 0]
+
+
 def kp_focal_loss(kp_logits: jnp.ndarray, kp_tgt: jnp.ndarray) -> jnp.ndarray:
-    """kp_logits [B,H,W,1], kp_tgt [B,H,W] (ref KPFocalLoss :205-213).
+    """kp_logits [B,H,W,1] (or planar [B,H,W]), kp_tgt [B,H,W]
+    (ref KPFocalLoss :205-213).
 
     The reference computes one focal over the whole batch tensor (so num_pos
     is summed across the batch); we match that.
     """
-    pred = jnp.clip(jax.nn.sigmoid(kp_logits[..., 0]), _EPS, 1.0 - _EPS)
+    pred = jnp.clip(jax.nn.sigmoid(_kp_plane(kp_logits)), _EPS, 1.0 - _EPS)
     return focal_heatmap_loss(pred, kp_tgt)
 
 
@@ -246,8 +263,17 @@ def kp_focal_loss_from_cnt(kp_logits: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndar
     instances, so the whole loss is one fused dense pass — no sort, no
     gather, and a dense elementwise backward. Identical value to
     kp_focal_loss on the rasterized mask / kp_focal_loss_from_points."""
-    pred = jnp.clip(jax.nn.sigmoid(kp_logits[..., 0]), _EPS, 1.0 - _EPS)
     u = jnp.any(cnt > 0, axis=1).astype(jnp.float32)          # [B, H, W]
+    return kp_focal_loss_from_union(kp_logits, u)
+
+
+def kp_focal_loss_from_union(kp_logits: jnp.ndarray,
+                             union: jnp.ndarray) -> jnp.ndarray:
+    """kp focal from the precomputed 0/1 union map [B, H, W] (u8/f32) — the
+    rasterizer kernel (losses/rasterize_pallas.py) emits it directly, saving
+    the any-over-instances reduce over the 805 MB cnt map."""
+    pred = jnp.clip(jax.nn.sigmoid(_kp_plane(kp_logits)), _EPS, 1.0 - _EPS)
+    u = union.astype(jnp.float32)
     pos = jnp.sum(jnp.log(pred) * (1.0 - pred) ** 2 * u)
     neg = jnp.sum(jnp.log(1.0 - pred) * pred ** 2 * (1.0 - u))
     num_pos = jnp.sum(u)
@@ -265,9 +291,10 @@ def kp_focal_loss_from_points(kp_logits: jnp.ndarray, targets: Targets) -> jnp.n
     One batched sort deduplicates the point pixels (points can repeat across
     edges/instances); no [H, W] scatter is ever materialized.
     """
-    B, H, W, _ = kp_logits.shape
+    kp = _kp_plane(kp_logits)
+    B, H, W = kp.shape
     HW = H * W
-    pred = jnp.clip(jax.nn.sigmoid(kp_logits[..., 0]), _EPS, 1.0 - _EPS)
+    pred = jnp.clip(jax.nn.sigmoid(kp), _EPS, 1.0 - _EPS)
 
     flat_pts = (targets.points[..., 0] * W + targets.points[..., 1]).reshape(B, -1)
     flat_pts = jnp.where(targets.pt_valid.reshape(B, -1), flat_pts, HW)   # sentinel
@@ -380,7 +407,7 @@ def ae_sample_count(targets: Targets, h: int, w: int,
 
 
 def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
-                             impl: str = "dense", cnt=None):
+                             impl: str = "dense", cnt=None, r2=None):
     """Per-instance AE focal terms as ONE fused broadcast over [B, M, H, W].
 
     Numerically identical (same per-element ops) to evaluating the reference's
@@ -392,13 +419,27 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
     + 12 shift-max passes each (the profiled 151 ms/batch-4 hotspot).
 
     Returns i_loss [B, M] (already zero for invalid instances).
+
+    ``ae`` is either the legacy [B, H, W, 4] map or a 4-tuple of PLANAR
+    [B, H, W] planes (the model's planar_heads train layout): full-res maps
+    with <128 trailing channels pad the TPU lane dim 32x, so every pass over
+    the NHWC form costs ~2 GB of physical traffic at batch 8 — the planar
+    planes keep W on the lanes (dense).
     """
-    B, H, W, _ = ae.shape
+    if isinstance(ae, (tuple, list)):
+        a0, a1, a2, a3 = ae
+        B, H, W = a0.shape
+        e0 = jnp.tanh(a0) + xym[..., 0]                    # [B,H,W]
+        e1 = jnp.tanh(a1) + xym[..., 1]
+        s0 = jnp.exp(a2)
+        s1 = jnp.exp(a3)
+    else:
+        B, H, W, _ = ae.shape
+        e = jnp.tanh(ae[..., 0:2]) + xym                   # [B,H,W,2]
+        s = jnp.exp(ae[..., 2:4])                          # [B,H,W,2]
+        e0, e1, s0, s1 = e[..., 0], e[..., 1], s[..., 0], s[..., 1]
     M, P = targets.points.shape[1], targets.points.shape[2]
     HW = H * W
-
-    e = jnp.tanh(ae[..., 0:2]) + xym                       # [B,H,W,2]
-    s = jnp.exp(ae[..., 2:4])                              # [B,H,W,2]
 
     centers_int = targets.centers.astype(jnp.int32)        # [B,M,2]
     ci = jnp.clip(centers_int[..., 0], 0, H - 1)
@@ -423,7 +464,9 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
 
     if impl == "pallas":
         from instance_segmentation_tpu.losses import ae_pallas, minr2_pallas
-        if (minr2_pallas.supported(H, W)
+        if r2 is not None:
+            pass                 # rasterizer already produced it with cnt
+        elif (minr2_pallas.supported(H, W)
                 and not os.environ.get("ISEG_MINR2_XLA")
                 and (minr2_pallas.INTERPRET
                      or jax.default_backend() == "tpu")):
@@ -439,15 +482,15 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
             targets.points, targets.pt_valid, H, W)
         table = tuple(sorted(_NEG4_TABLE.items()))
         pos, neg, npos, pull = ae_pallas.ae_terms(
-            e[..., 0], e[..., 1], s[..., 0], s[..., 1], r2, cnt, table,
-            tab, anyp, cntp)
+            e0, e1, s0, s1, r2, cnt, table, tab, anyp, cntp)
         i_loss = jnp.where(npos == 0, -neg,
                            -(pos + neg) / jnp.clip(npos, 1.0, None))
         return i_loss, pull * valid.astype(jnp.float32)
 
-    r2 = _shift_min_r2(cnt > 0)                                     # [B,M,H,W] u8
+    if r2 is None:
+        r2 = _shift_min_r2(cnt > 0)                                 # [B,M,H,W] u8
 
-    def focal_terms(e, s):
+    def focal_terms(e0, e1, s0, s1):
         # fully fused [B,M,H,W] chain; checkpointed so backward recomputes.
         # Everything per-pixel is derived on the fly from the u8 distance map
         # and tiny per-instance vectors — no [B,M,H,W] f32/bool tensor is ever
@@ -461,10 +504,10 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
         window = ((rows >= lt[..., 0, None, None]) & (rows < rb[..., 0, None, None]) &
                   (cols >= lt[..., 1, None, None]) & (cols < rb[..., 1, None, None]) &
                   valid[..., None, None])
-        dy = e[:, None, ..., 0] - c_emb[..., 0][..., None, None]
-        dx = e[:, None, ..., 1] - c_emb[..., 1][..., None, None]
-        pred = jnp.exp(-(dy * dy * s[:, None, ..., 0] +
-                         dx * dx * s[:, None, ..., 1]))             # [B,M,H,W]
+        dy = e0[:, None] - c_emb[..., 0][..., None, None]
+        dx = e1[:, None] - c_emb[..., 1][..., None, None]
+        pred = jnp.exp(-(dy * dy * s0[:, None] +
+                         dx * dx * s1[:, None]))                    # [B,M,H,W]
         pred = jnp.clip(pred, _EPS, 1.0 - _EPS)
         wf = window.astype(jnp.float32)
         posm = (r2 == 0) & window          # r2==0 <=> point pixel (imp)
@@ -475,7 +518,7 @@ def _ae_instance_focal_dense(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray
         npos = jnp.sum(posm, axis=(2, 3)).astype(jnp.float32)
         return pos, neg, npos
 
-    pos, neg, npos = jax.checkpoint(focal_terms)(e, s)
+    pos, neg, npos = jax.checkpoint(focal_terms)(e0, e1, s0, s1)
     i_loss = jnp.where(npos == 0, -neg,
                        -(pos + neg) / jnp.clip(npos, 1.0, None))
     return i_loss, None
@@ -522,7 +565,7 @@ def _ae_pull_term(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray):
 
 
 def ae_loss(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
-            cfg: LossConfig = LossConfig(), cnt=None) -> jnp.ndarray:
+            cfg: LossConfig = LossConfig(), cnt=None, r2=None) -> jnp.ndarray:
     """ae [B,H,W,4]; xym [H,W,2] from coordinate_grid.
 
     Default (ae_window=None): dense fused implementation — exact reference
@@ -530,28 +573,31 @@ def ae_loss(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
     target rasterizations. A fixed ae_window keeps the windowed per-instance
     path (approximate for instances whose reference window exceeds the crop).
     """
+    planar = isinstance(ae, (tuple, list))
     if cfg.ae_window is None:
         impl = cfg.ae_impl
         if impl == "auto":
-            import os
             impl = os.environ.get("ISEG_AE_IMPL", "auto")
         if impl == "auto":
             from instance_segmentation_tpu.losses import ae_pallas
-            B_, H_, W_, _ = ae.shape
+            H_, W_ = ae[0].shape[1:3] if planar else ae.shape[1:3]
             impl = ("pallas"
                     if (jax.default_backend() == "tpu"
                         and ae_pallas.supported(H_, W_, targets.points.shape[1]))
                     else "dense")
-        i_loss, v_loss = _ae_instance_focal_dense(ae, targets, xym, impl, cnt)
+        i_loss, v_loss = _ae_instance_focal_dense(ae, targets, xym, impl,
+                                                  cnt, r2)
         if v_loss is None:                  # dense path: XLA pull term
-            v_loss = _ae_pull_term(ae, targets, xym)                # [B,M]
+            ae_nhwc = jnp.stack(ae, axis=-1) if planar else ae
+            v_loss = _ae_pull_term(ae_nhwc, targets, xym)           # [B,M]
         n = jnp.sum(targets.inst_valid, axis=1).astype(jnp.float32)  # [B]
         per = jnp.where(n > 0,
                         (jnp.sum(i_loss, axis=1) + jnp.sum(v_loss, axis=1))
                         / jnp.clip(n, 1.0, None), 0.0)
-        B = ae.shape[0]
+        B = ae[0].shape[0] if planar else ae.shape[0]
         return cfg.ae_weight * jnp.sum(per) / B
-    return _ae_loss_windowed(ae, targets, xym, cfg)
+    return _ae_loss_windowed(jnp.stack(ae, axis=-1) if planar else ae,
+                             targets, xym, cfg)
 
 
 def _ae_loss_windowed(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
@@ -627,7 +673,8 @@ def _ae_loss_windowed(ae: jnp.ndarray, targets: Targets, xym: jnp.ndarray,
 
 def tangent_loss(tan: jnp.ndarray, targets: Targets,
                  cfg: LossConfig = LossConfig()) -> jnp.ndarray:
-    """tan [B,H,W,2]; 1 - cos(pred, inward normal) at boundary samples.
+    """tan [B,H,W,2] or a planar (t0, t1) pair of [B,H,W] planes;
+    1 - cos(pred, inward normal) at boundary samples.
 
     Dense formulation, exactly equal to the reference's per-sample mean
     (ref TangentLoss loss.py:320-351): cos is linear in the GT normal, so
@@ -636,8 +683,19 @@ def tangent_loss(tan: jnp.ndarray, targets: Targets,
     through the scatter), and the differentiable part is a fused elementwise
     pass over the dense field — the per-sample gather (and its serializing
     scatter-add backward) disappears.
+
+    The planar layout is the fast path: the NHWC [B,H,W,2] form pads the TPU
+    lane dim 64x, so its normalize/dot chain measured 9.7 ms/iter and its
+    [B*HW, 2] scatter 11.8 ms at batch 8; planar planes + per-channel flat
+    scatters run the same math lane-dense.
     """
-    B, H, W, _ = tan.shape
+    planar = isinstance(tan, (tuple, list))
+    if planar:
+        t0, t1 = tan
+        B, H, W = t0.shape
+    else:
+        B, H, W, _ = tan.shape
+        t0, t1 = tan[..., 0], tan[..., 1]
     pts = targets.points.reshape(B, -1, 2)                                # [B,S,2]
     val = targets.pt_valid.reshape(B, -1)
     nrm = targets.normals.reshape(B, -1, 2) * val[..., None]
@@ -646,19 +704,20 @@ def tangent_loss(tan: jnp.ndarray, targets: Targets,
     flat = (safe[..., 0] * W + safe[..., 1]
             + (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None])        # [B,S]
     flat = jnp.where(val, flat, B * H * W)
-    nmap = _compacted_scatter_add(
-        nrm, flat, val, B * H * W, cfg.sample_budget,
-        jnp.float32).reshape(B, H, W, 2)
-    nmap = jax.lax.stop_gradient(nmap)
+    nmap0, nmap1 = _compacted_scatter_add(
+        nrm, flat, val, B * H * W, cfg.sample_budget, jnp.float32,
+        planar=True)
+    nmap0 = jax.lax.stop_gradient(nmap0).reshape(B, H, W)
+    nmap1 = jax.lax.stop_gradient(nmap1).reshape(B, H, W)
 
     # sqrt(max(n2, eps^2)) == clip(sqrt(n2), eps) in value, but its gradient
     # at n2 == 0 is 0 instead of 0 * inf = NaN. The dense form normalizes
     # EVERY pixel (the per-sample form only touched boundary pixels), so
     # underflowed-to-zero activations otherwise poison the whole backward —
     # observed as training NaN at ~step 1700 of the overfit demo.
-    n2 = jnp.sum(tan * tan, axis=-1, keepdims=True)
-    t = tan / jnp.sqrt(jnp.maximum(n2, _EPS * _EPS))
-    dot = jnp.sum(t * nmap, axis=(1, 2, 3))                               # [B]
+    n2 = t0 * t0 + t1 * t1
+    inv = 1.0 / jnp.sqrt(jnp.maximum(n2, _EPS * _EPS))
+    dot = jnp.sum((t0 * nmap0 + t1 * nmap1) * inv, axis=(1, 2))           # [B]
     n_val = jnp.sum(val, axis=1).astype(jnp.float32)
     per = jnp.where(n_val > 0, (n_val - dot) / jnp.clip(n_val, 1.0, None), 0.0)
     return cfg.tan_weight * jnp.mean(per)
@@ -679,15 +738,31 @@ def compose_loss(outputs, targets: Targets, anchors: jnp.ndarray,
                                   targets.det_ann, cfg)
     # the per-instance sample-count map is shared: kp's dense binary target
     # is its any-over-instances union, and the AE focal/pull terms consume
-    # it directly (one scatter instead of three point-list lowerings)
-    cnt = ae_sample_count(targets, H, W) if cfg.ae_window is None else None
+    # it directly (one scatter instead of three point-list lowerings). On
+    # TPU the Pallas rasterizer produces cnt + min-r2 + union together from
+    # the point list (one one-hot matmul per live slab) — the XLA scatter it
+    # replaces was buffer-pass-bound at 9.7 ms/iter b8 and the reshape +
+    # union reduce another 4 ms (losses/rasterize_pallas.py docstring).
+    cnt = r2 = union = None
+    if cfg.ae_window is None:
+        from instance_segmentation_tpu.losses import rasterize_pallas
+        if (rasterize_pallas.supported(H, W, targets.points.shape[2])
+                and not os.environ.get("ISEG_RASTER_XLA")
+                and (rasterize_pallas.INTERPRET
+                     or jax.default_backend() == "tpu")):
+            cnt, r2, union = rasterize_pallas.rasterize_cnt_r2(
+                targets.points, targets.pt_valid, H, W)
+        else:
+            cnt = ae_sample_count(targets, H, W)
     if targets.kp_tgt is not None:
         kp_l = kp_focal_loss(kp, targets.kp_tgt)
+    elif union is not None:
+        kp_l = kp_focal_loss_from_union(kp, union)
     elif cnt is not None:
         kp_l = kp_focal_loss_from_cnt(kp, cnt)
     else:
         kp_l = kp_focal_loss_from_points(kp, targets)
-    ae_l = ae_loss(ae, targets, xym, cfg, cnt)
+    ae_l = ae_loss(ae, targets, xym, cfg, cnt, r2)
     tan_l = tangent_loss(tan, targets, cfg)
 
     total = cls_l + reg_l + kp_l + ae_l + tan_l

@@ -36,33 +36,47 @@ def _roll(x, shift, axis):
     if INTERPRET:
         # pltpu.roll has no CPU-interpret lowering; jnp.roll matches it
         return jnp.roll(x, shift, axis)
-    return pltpu.roll(x, shift, axis)
+    return pltpu.roll(x, shift % x.shape[axis], axis)   # pltpu needs shift >= 0
 
 
 def _axis_min(x, axis, size, radius):
     """min over o in [-radius, radius] of (x shifted by o along axis) + o^2,
-    with out-of-range neighbours BIG (the reference stamp clips at borders)."""
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    with out-of-range neighbours penalized by +BIG (the reference stamp clips
+    at borders; a penalized term is >= BIG + o^2 > 200 so it can never win
+    against the always-valid o=0 term, which is <= 200 — exactly the XLA
+    oracle's BIG-padding semantics). Arithmetic masks, no i1 vectors: Mosaic
+    miscompiles/rejects large boolean relayouts inside pl.when regions."""
+    idxf = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis).astype(
+        jnp.float32)
     r = x
     for o in range(1, radius + 1):
-        plus = jnp.where(idx < size - o, _roll(x, -o, axis), _BIG)   # x[j+o]
-        minus = jnp.where(idx >= o, _roll(x, o, axis), _BIG)         # x[j-o]
+        # pen_hi = BIG where idx >= size - o (wrapped lanes of the -o roll)
+        pen_hi = jnp.clip(idxf - float(size - 1 - o), 0.0, 1.0) * _BIG
+        # pen_lo = BIG where idx < o (wrapped lanes of the +o roll)
+        pen_lo = jnp.clip(float(o) - idxf, 0.0, 1.0) * _BIG
+        plus = _roll(x, -o, axis) + pen_hi                           # x[j+o]
+        minus = _roll(x, o, axis) + pen_lo                           # x[j-o]
         r = jnp.minimum(r, jnp.minimum(plus, minus) + float(o * o))
     return r
 
 
 def _make_kernel(h, w, radius):
     def kernel(has_ref, cnt_ref, out_ref):
+        b = pl.program_id(0)
         m = pl.program_id(1)
 
-        @pl.when(has_ref[0, m] > 0.0)
+        @pl.when(has_ref[b, m] > 0.0)
         def _():
-            x = jnp.where(cnt_ref[0, 0] > 0, 0.0, _BIG)          # f32 [H, W]
+            # x = 0 at point pixels, BIG elsewhere — arithmetic, no i1 mask
+            # (u16 -> f32 has no direct Mosaic cast; hop through i32)
+            cf = cnt_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+            x = jnp.clip(1.0 - cf, 0.0, 1.0) * _BIG              # f32 [H, W]
             col = _axis_min(x, 1, w, radius)                     # lanes
             out = _axis_min(col, 0, h, radius)                   # sublanes
-            out_ref[0, 0] = out.astype(jnp.uint8)
+            # Mosaic has no f32 -> u8 cast; chain through i32 (exact ints)
+            out_ref[0, 0] = out.astype(jnp.int32).astype(jnp.uint8)
 
-        @pl.when(has_ref[0, m] <= 0.0)
+        @pl.when(has_ref[b, m] <= 0.0)
         def _():
             out_ref[0, 0] = jnp.full((h, w), int(_BIG), jnp.uint8)
 
@@ -83,7 +97,10 @@ def minr2_from_cnt(cnt: jnp.ndarray, has_pts: jnp.ndarray,
         _make_kernel(H, W, radius),
         grid=(B, M),
         in_specs=[
-            pl.BlockSpec((1, M), lambda b, m: (b, 0),
+            # whole [B, M] table in SMEM (a (1, M) window would violate the
+            # "last two block dims divisible by (8, 128) or equal to the
+            # array dims" Mosaic rule); indexed by program ids in-kernel
+            pl.BlockSpec((B, M), lambda b, m: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, H, W), lambda b, m: (b, m, 0, 0),
                          memory_space=pltpu.VMEM),

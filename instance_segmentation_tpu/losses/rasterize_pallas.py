@@ -1,0 +1,132 @@
+"""Pallas TPU rasterizer: per-instance sample-count map + min-r2 + union
+directly from the packed boundary point list.
+
+Replaces, on the TPU training path:
+  * ``losses.ae_sample_count`` — an XLA scatter-add of ~786k u16 units into
+    an 805 MB [B*M*HW] buffer. Measured 9.7 ms/iter at batch 8 and
+    buffer-PASS-bound (~90 GB/s): compaction, u8, and smaller payloads all
+    failed to move it (tools/microbench_scatter{,2}.py).
+  * the scatter output's [B, M*HW] -> [B, M, H, W] reshape (2.5 ms/iter —
+    a real relayout copy, not metadata).
+  * ``_shift_min_r2`` / minr2_pallas — the separable min-squared-distance
+    pass (9.2 ms XLA, ~2.5 ms as its own slab kernel).
+  * the kp-loss union reduce ``any(cnt > 0, axis=1)`` (1.6 ms/iter over the
+    805 MB map).
+
+How: one grid step per (image, instance) slab. The slab's count map is an
+exact one-hot matmul on the MXU — cnt[h, w] = sum_p 1[y_p = h] * 1[x_p = w]
+(A [H, P] @ B [P, W], bf16 one-hots, f32 accumulation: integer counts
+<= P = 1024 are exact) — ~1 GFLOP per LIVE slab; the ~85% padding-slot slabs
+skip straight to a memset. r2 follows with the in-register separable
+roll/min pass (minr2_pallas semantics, bit-exact vs the XLA oracle), and the
+union accumulates across the m-inner grid dimension in VMEM scratch, flushed
+once per image.
+
+Encoding: invalid points are pre-encoded OUT OF RANGE (y = H, x = W) so
+their one-hot columns are all-zero — no mask input, and exactly
+ae_sample_count's drop semantics (valid points are pre-clipped into bounds
+exactly like its scatter, ref loss.py:255-265 sample semantics).
+
+Everything is arithmetic (no i1 vectors): Mosaic rejects large boolean
+relayouts inside pl.when regions ("Invalid relayout ... replicated in
+destination", seen on the first minr2 kernel attempt).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from instance_segmentation_tpu.losses.minr2_pallas import _axis_min
+
+INTERPRET = False   # tests set True to run the kernel on CPU
+
+_BIG = 200.0        # matches losses._R2_BIG
+
+
+def _make_kernel(h, w, m_total, radius):
+    def kernel(has_ref, y_ref, x_ref, cnt_ref, r2_ref, uni_ref, uni_acc):
+        b = pl.program_id(0)
+        m = pl.program_id(1)
+
+        @pl.when(m == 0)
+        def _():
+            uni_acc[:] = jnp.zeros(uni_acc.shape, jnp.float32)
+
+        @pl.when(has_ref[b, m] > 0.0)
+        def _():
+            y = y_ref[0, m]                                   # [P] i32
+            x = x_ref[0, m]
+            ioh = jax.lax.broadcasted_iota(jnp.int32, (h, y.shape[0]), 0)
+            iow = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], w), 1)
+            # exact one-hots, arithmetic (|i - y| >= 1 -> 0, == 0 -> 1)
+            a = jnp.clip(1 - jnp.abs(ioh - y[None, :]), 0, 1)   # [H, P]
+            bx = jnp.clip(1 - jnp.abs(iow - x[:, None]), 0, 1)  # [P, W]
+            a16 = a.astype(jnp.float32).astype(jnp.bfloat16)
+            b16 = bx.astype(jnp.float32).astype(jnp.bfloat16)
+            cnt_f = jnp.dot(a16, b16, preferred_element_type=jnp.float32)
+            cnt_ref[0, 0] = cnt_f.astype(jnp.int32).astype(jnp.uint16)
+            x0 = jnp.clip(1.0 - cnt_f, 0.0, 1.0) * _BIG       # 0 at points
+            col = _axis_min(x0, 1, w, radius)
+            r2 = _axis_min(col, 0, h, radius)
+            r2_ref[0, 0] = r2.astype(jnp.int32).astype(jnp.uint8)
+            uni_acc[:] = jnp.maximum(uni_acc[:], jnp.minimum(cnt_f, 1.0))
+
+        @pl.when(has_ref[b, m] <= 0.0)
+        def _():
+            cnt_ref[0, 0] = jnp.zeros((h, w), jnp.uint16)
+            r2_ref[0, 0] = jnp.full((h, w), int(_BIG), jnp.uint8)
+
+        @pl.when(m == m_total - 1)
+        def _():
+            uni_ref[0] = uni_acc[:].astype(jnp.int32).astype(jnp.uint8)
+
+    return kernel
+
+
+def supported(h, w, p):
+    return h % 8 == 0 and w % 128 == 0 and p % 8 == 0
+
+
+def rasterize_cnt_r2(points: jnp.ndarray, pt_valid: jnp.ndarray,
+                     h: int, w: int, radius: int = 3):
+    """points [B, M, P, 2] i32 (row, col); pt_valid [B, M, P] bool.
+
+    Returns (cnt u16 [B,M,H,W], r2 u8 [B,M,H,W], union u8 [B,H,W]) with
+    cnt == ae_sample_count(...), r2 == _shift_min_r2(cnt > 0) and
+    union == any(cnt > 0, axis=1) — bit-exact.
+    """
+    B, M, P, _ = points.shape
+    y = jnp.where(pt_valid, jnp.clip(points[..., 0], 0, h - 1), h)
+    x = jnp.where(pt_valid, jnp.clip(points[..., 1], 0, w - 1), w)
+    has = jnp.any(pt_valid, axis=2).astype(jnp.float32)          # [B, M]
+    cnt, r2, uni = pl.pallas_call(
+        _make_kernel(h, w, M, radius),
+        grid=(B, M),
+        in_specs=[
+            pl.BlockSpec((B, M), lambda b, m: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, M, P), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, P), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, h, w), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w), lambda b, m: (b, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M, h, w), jnp.uint16),
+            jax.ShapeDtypeStruct((B, M, h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((B, h, w), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((h, w), jnp.float32)],
+        interpret=INTERPRET,
+    )(has, y.astype(jnp.int32), x.astype(jnp.int32))
+    return cnt, r2, uni

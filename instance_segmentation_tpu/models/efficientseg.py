@@ -83,6 +83,14 @@ class EfficientSegConfig:
                           # and dynamic per-tensor activation scales; heads,
                           # SE, depthwise and BiFPN stay in compute_dtype).
                           # Same param tree — any float checkpoint loads.
+    planar_heads: bool = True  # TRAIN-mode head layout: kp [B,H,W] f32,
+                          # ae (a0,a1,a2,a3) and tan (t0,t1) tuples of
+                          # [B,H,W] planes instead of [B,H,W,{1,4,2}] NHWC
+                          # maps (which pad the TPU lane dim 32-128x — the
+                          # loss chains over them measured ~20 ms/iter of
+                          # pure layout traffic at batch 8). Same math and
+                          # params; compose_loss accepts both layouts.
+                          # Eval-mode outputs are unchanged.
     remat: bool = False   # rematerialize backbone blocks + U-Net stages
                           # (jax.checkpoint): trades ~30% step FLOPs for the
                           # activation memory of the full-res dense decoder —
@@ -173,6 +181,7 @@ class EfficientSeg(nn.Module):
 
         outs = decoder_cls(
             dtype=dtype, axis_name=c.axis_name, s2d=unet_s2d, quant=quant,
+            planar=c.planar_heads,
             packed=packed_heads and not train, name="kp_header",
         )(x, blocks, train)
 

@@ -64,8 +64,19 @@ def pin_data_sharding(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.custom_vjp
-def swish(x: jnp.ndarray) -> jnp.ndarray:
+def _swish_cvjp(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(x)
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(x) with a fused recompute-backward custom VJP.
+    ISEG_SWISH_AUTODIFF=1 (trace-time) routes through plain XLA autodiff —
+    used by tools/repro_spatial_bwd.py to strip first-party custom VJPs
+    from the spatial-sharding divergence repro."""
+    import os as _os
+    if _os.environ.get("ISEG_SWISH_AUTODIFF"):
+        return x * jax.nn.sigmoid(x)
+    return _swish_cvjp(x)
 
 
 def _swish_fwd(x):
@@ -80,7 +91,7 @@ def _swish_bwd(x, g):
     return (g * (s * (1.0 + x * (1.0 - s))).astype(g.dtype),)
 
 
-swish.defvjp(_swish_fwd, _swish_bwd)
+_swish_cvjp.defvjp(_swish_fwd, _swish_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))

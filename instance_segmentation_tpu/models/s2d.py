@@ -354,13 +354,17 @@ class DoubleConvS2D(nn.Module):
 
 class HeadS2D(nn.Module):
     """1x1 full-res head conv on the s2d tensor (block-diagonal over phases),
-    returning the full-res [B, H, W, features] map.
-    Parameter-compatible with ConvSame(features, (1, 1))."""
+    returning the full-res [B, H, W, features] map — or, with
+    ``planar=True``, a tuple of per-channel [B, H, W] planes (each
+    depth_to_space'd alone, so no <128-channel NHWC map ever materializes:
+    those pad the TPU lane dim 32-128x; a [B, H, W] plane keeps W on the
+    lanes). Parameter-compatible with ConvSame(features, (1, 1))."""
 
     features: int
     in_features: int
     r: int
     dtype: Any = jnp.float32
+    planar: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -373,6 +377,10 @@ class HeadS2D(nn.Module):
                        k[0, 0].astype(self.dtype))
         y = y + b.astype(y.dtype)[:, None]
         y = y.reshape(bq, hc, wc, self.features * r2)
+        if self.planar:
+            return tuple(
+                depth_to_space(y[..., c * r2:(c + 1) * r2], self.r)[..., 0]
+                for c in range(self.features))
         return depth_to_space(y, self.r)
 
 

@@ -82,6 +82,16 @@ class UNetDecoder(nn.Module):
     axis_name: Optional[str] = None
     s2d: Any = False          # False | True | "train"
     quant: bool = False       # int8 dense 3x3 convs (heads stay float)
+    planar: bool = False      # training fast path: emit each head CHANNEL as
+                              # its own [B, H, W] f32 plane — kp [B,H,W],
+                              # ae (a0,a1,a2,a3), tan (t0,t1) — instead of
+                              # [B,H,W,C] maps. NHWC maps with 1-4 trailing
+                              # channels pad the 128-wide TPU lane dim
+                              # 32-128x, so every training-loss pass over
+                              # them costs up to 64x its logical bytes
+                              # (measured: the tangent normalize chain alone
+                              # was 9.7 ms/iter at batch 8); the planes keep
+                              # W on the lanes. Same math, same params.
     packed: bool = False      # inference fast path: return the heads PACKED
                               # in space-to-depth layout instead of full-res
                               # maps — (kp_full [B,H,W] f32,
@@ -125,7 +135,12 @@ class UNetDecoder(nn.Module):
             outs = []
             for name, ch in self.heads:
                 y = ConvSame(ch, (1, 1), dtype=self.dtype, name=f"head_{name}")(x)
-                outs.append(y.astype(jnp.float32))
+                y = y.astype(jnp.float32)
+                if self.planar and train:
+                    outs.append(y[..., 0] if ch == 1
+                                else tuple(y[..., c] for c in range(ch)))
+                else:
+                    outs.append(y)
             return tuple(outs)
 
         from instance_segmentation_tpu.models.s2d import (
@@ -154,11 +169,16 @@ class UNetDecoder(nn.Module):
                           dtype=self.dtype, axis_name=self.axis_name,
                           name="double_input")(x, train=train)
         if not self.packed:
+            planar = self.planar and train
             outs = []
             for name, ch in self.heads:
                 y = HeadS2D(ch, in_features=ic, r=4, dtype=self.dtype,
-                            name=f"head_{name}")(x)
-                outs.append(y.astype(jnp.float32))
+                            planar=planar, name=f"head_{name}")(x)
+                if planar:
+                    planes = tuple(p.astype(jnp.float32) for p in y)
+                    outs.append(planes[0] if ch == 1 else planes)
+                else:
+                    outs.append(y.astype(jnp.float32))
             return tuple(outs)
 
         # packed inference path: ONE matmul over the concatenated head

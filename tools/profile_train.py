@@ -111,7 +111,9 @@ def main():
         outs, new_vars = model.apply(
             {"params": p, "batch_stats": s}, x, train=True,
             mutable=["batch_stats"], rngs={"dropout": drng})
-        return sum(jnp.sum(o.astype(jnp.float32)) for o in outs), new_vars
+        # tree-leaves: train-mode outputs may be PLANAR (tuples of planes)
+        return sum(jnp.sum(o.astype(jnp.float32))
+                   for o in jax.tree_util.tree_leaves(outs)), new_vars
     triv_g = jax.jit(jax.grad(_triv, has_aux=True))
     fwd_train = jax.jit(lambda p, s, x: model.apply(
         {"params": p, "batch_stats": s}, x, train=True, mutable=["batch_stats"],
@@ -140,6 +142,9 @@ def main():
         ("model fwd (train)", fwd_train, (state.params, state.batch_stats, images)),
         ("model fwd+bwd (trivial)", triv_g, (state.params, state.batch_stats, images)),
     ]
+    kp_pl = kp[..., 0]
+    ae_pl = tuple(ae[..., c] for c in range(4))
+    tan_pl = tuple(tan[..., c] for c in range(2))
     if not args.skip_losses:
         jobs += [
             ("targets", tgt_fn, (polys, n_verts, cls_ids)),
@@ -149,6 +154,11 @@ def main():
             ("tan loss (g wrt out)", tan_g, (tan,)),
             ("ALL losses (g wrt out)", all_g,
              ((kp, ae, tan, regression, classification),)),
+            ("kp loss PLANAR", kp_g, (kp_pl,)),
+            ("ae loss PLANAR", ae_g, (ae_pl,)),
+            ("tan loss PLANAR", tan_g, (tan_pl,)),
+            ("ALL losses PLANAR", all_g,
+             ((kp_pl, ae_pl, tan_pl, regression, classification),)),
         ]
     t_full = None
     if not args.skip_full:
