@@ -157,6 +157,9 @@ def main():
         H, W, pyramid_levels=cfg.pyramid_levels, anchor_scale=cfg.anchor_scale,
         scales=cfg.scales, ratios=cfg.ratios))
     dcfg = DecodeConfig()  # shipped decode_cfg.yaml values
+    if os.environ.get("ISEG_BENCH_TOPK") == "approx":
+        import dataclasses
+        dcfg = dataclasses.replace(dcfg, exact_topk=False)
 
     @jax.jit
     def infer(params, batch_stats, images):

@@ -746,7 +746,14 @@ def compose_loss(outputs, targets: Targets, anchors: jnp.ndarray,
     cnt = r2 = union = None
     if cfg.ae_window is None:
         from instance_segmentation_tpu.losses import rasterize_pallas
+        # ae_impl == "dense" is also the "no Pallas anywhere" escape hatch:
+        # tools/check_tpu_parity.py compiles the SAME loss for cpu AND tpu
+        # backends in one process (jit(..., backend=...)), where a
+        # default_backend() gate alone would route the cpu lowering into
+        # pallas_call and fail
         if (rasterize_pallas.supported(H, W, targets.points.shape[2])
+                and cfg.ae_impl != "dense"
+                and os.environ.get("ISEG_AE_IMPL", "") != "dense"
                 and not os.environ.get("ISEG_RASTER_XLA")
                 and (rasterize_pallas.INTERPRET
                      or jax.default_backend() == "tpu")):

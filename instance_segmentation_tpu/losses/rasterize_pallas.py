@@ -59,14 +59,28 @@ def _make_kernel(h, w, m_total, radius):
         def _():
             y = y_ref[0, m]                                   # [P] i32
             x = x_ref[0, m]
-            ioh = jax.lax.broadcasted_iota(jnp.int32, (h, y.shape[0]), 0)
-            iow = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], w), 1)
-            # exact one-hots, arithmetic (|i - y| >= 1 -> 0, == 0 -> 1)
-            a = jnp.clip(1 - jnp.abs(ioh - y[None, :]), 0, 1)   # [H, P]
-            bx = jnp.clip(1 - jnp.abs(iow - x[:, None]), 0, 1)  # [P, W]
-            a16 = a.astype(jnp.float32).astype(jnp.bfloat16)
-            b16 = bx.astype(jnp.float32).astype(jnp.bfloat16)
-            cnt_f = jnp.dot(a16, b16, preferred_element_type=jnp.float32)
+            p = y.shape[0]
+            ioh = jax.lax.broadcasted_iota(jnp.int32, (h, p), 0)
+            # exact one-hots, arithmetic (|i - y| >= 1 -> 0, == 0 -> 1);
+            # one-hot values are exact in either dtype. The matmul dtype is
+            # shape-gated: bf16 at production shapes (f32 operands push the
+            # kernel ~250 KB over the 16 MB scoped-VMEM limit at
+            # 512x1024xP1024), f32 at small shapes (Mosaic rejects the bf16
+            # matmul there — "Bad lhs type" for vector<128x128xbf16> — and
+            # VMEM is ample). The W axis is split to cap the [P, W] one-hot.
+            mm = jnp.bfloat16 if (p >= 256 and h >= 256) else jnp.float32
+            am = jnp.clip(1 - jnp.abs(ioh - y[None, :]), 0, 1).astype(
+                jnp.float32).astype(mm)                       # [H, P]
+            wc = w if w <= 512 else 512
+            parts = []
+            for j in range(w // wc):
+                iow = (jax.lax.broadcasted_iota(jnp.int32, (p, wc), 1)
+                       + j * wc)
+                bx = jnp.clip(1 - jnp.abs(iow - x[:, None]), 0, 1)
+                parts.append(jnp.dot(am, bx.astype(jnp.float32).astype(mm),
+                                     preferred_element_type=jnp.float32))
+            cnt_f = parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=1)
             cnt_ref[0, 0] = cnt_f.astype(jnp.int32).astype(jnp.uint16)
             x0 = jnp.clip(1.0 - cnt_f, 0.0, 1.0) * _BIG       # 0 at points
             col = _axis_min(x0, 1, w, radius)
@@ -87,7 +101,13 @@ def _make_kernel(h, w, m_total, radius):
 
 
 def supported(h, w, p):
-    return h % 8 == 0 and w % 128 == 0 and p % 8 == 0
+    # h*w bound: the kernel holds whole-[H, W] f32 intermediates in VMEM
+    # (one-hot matmul output + the two minr2 passes + the union scratch);
+    # 512x1024 measures 16.0/16 MB scoped VMEM — larger slabs (e.g. the
+    # 1024x2048 full-res frame) must fall back to the XLA scatter pipeline
+    return (h % 8 == 0 and w % 128 == 0 and p % 8 == 0
+            and (w <= 512 or w % 512 == 0)    # see the W-split in the kernel
+            and h * w <= 512 * 1024)
 
 
 def rasterize_cnt_r2(points: jnp.ndarray, pt_valid: jnp.ndarray,
