@@ -100,6 +100,115 @@ def _make_kernel(h, w, m_total, radius):
     return kernel
 
 
+def _make_nmap_kernel(h, w, m_total):
+    def kernel(has_ref, y_ref, x_ref, n0_ref, n1_ref, out0_ref, out1_ref):
+        m = pl.program_id(1)
+
+        # the out blocks are m-invariant (index map drops m), so they stay
+        # resident across the m grid: accumulate into them directly — a
+        # separate [H, W] f32 scratch pair pushed the kernel 3.2 MB over the
+        # 16 MB scoped-VMEM limit at 512x1024.
+        @pl.when(m == 0)
+        def _():
+            out0_ref[0] = jnp.zeros((h, w), jnp.float32)
+            out1_ref[0] = jnp.zeros((h, w), jnp.float32)
+
+        b = pl.program_id(0)
+
+        @pl.when(has_ref[b, m] > 0.0)
+        def _():
+            y = y_ref[0, m]                                   # [P] i32
+            x = x_ref[0, m]
+            p = y.shape[0]
+            ioh = jax.lax.broadcasted_iota(jnp.int32, (h, p), 0)
+            # same dtype gate as the cnt kernel: bf16 at production shapes,
+            # f32 at small (test) shapes where Mosaic rejects the bf16 dot.
+            # The 3-way split below keeps the math exact in either dtype.
+            mm = jnp.bfloat16 if (p >= 256 and h >= 256) else jnp.float32
+            am = jnp.clip(1 - jnp.abs(ioh - y[None, :]), 0, 1).astype(
+                jnp.float32).astype(mm)                       # [H, P] exact
+            wc = w
+            if w > 256 and w % 256 == 0:
+                wc = 256    # cap the [P, wc] one-hot + [H, wc] part
+            for c, n_ref, out in ((0, n0_ref, out0_ref), (1, n1_ref, out1_ref)):
+                n = n_ref[0, m]                               # [P] f32
+                # 3-way bf16 split: n == s0+s1+s2 EXACTLY for normal-range
+                # f32 (24 mantissa bits across three 8-bit-mantissa terms —
+                # the same decomposition XLA's own HIGHEST-precision f32
+                # matmul emulation uses). Each product with the exact 0/1
+                # one-hot is exact; accumulation is f32 — so the result
+                # equals a f32 scatter-add up to summation ORDER only.
+                # Splits kept f32 (Mosaic can't minor-dim-broadcast bf16
+                # vectors); every value is bf16-representable, so the
+                # f32-multiply + cast of the weighted one-hot stays exact.
+                s0 = n.astype(jnp.bfloat16).astype(jnp.float32)
+                r1 = n - s0
+                s1 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+                s2 = (r1 - s1).astype(jnp.bfloat16).astype(jnp.float32)
+                for j in range(w // wc):
+                    iow = (jax.lax.broadcasted_iota(jnp.int32, (p, wc), 1)
+                           + j * wc)
+                    bx = jnp.clip(1 - jnp.abs(iow - x[:, None]), 0, 1).astype(
+                        jnp.float32)                          # [P, wc] exact
+                    part = jnp.zeros((h, wc), jnp.float32)
+                    for s in (s0, s1, s2):
+                        part = part + jnp.dot(
+                            am, (s[:, None] * bx).astype(mm),
+                            preferred_element_type=jnp.float32)
+                    out[0, :, j * wc:(j + 1) * wc] += part
+
+    return kernel
+
+
+def rasterize_nmap(points: jnp.ndarray, pt_valid: jnp.ndarray,
+                   normals: jnp.ndarray, h: int, w: int):
+    """Summed-normal map from the packed point list, on the MXU.
+
+    points [B, M, P, 2] i32 (row, col); pt_valid [B, M, P]; normals
+    [B, M, P, 2] f32. Returns (nmap0, nmap1) f32 [B, H, W] equal to
+    scatter-adding each valid sample's normal at its (clipped) pixel —
+    the tangent-loss target field (ref loss.py:320-351 sample semantics) —
+    up to f32 summation order. Replaces the compacted [B*HW] scatter
+    pipeline (extract + gathers + 2 scatter-adds under a lax.cond), which
+    measured ~12.8 ms/iter at batch 8 on v5e (cond.7 at 0.8% HBM peak);
+    the weighted one-hot matmuls are ~0.8 TFLOP of bf16 MXU work.
+    """
+    B, M, P, _ = points.shape
+    y = jnp.where(pt_valid, jnp.clip(points[..., 0], 0, h - 1), h)
+    x = jnp.where(pt_valid, jnp.clip(points[..., 1], 0, w - 1), w)
+    has = jnp.any(pt_valid, axis=2).astype(jnp.float32)          # [B, M]
+    n0 = jnp.where(pt_valid, normals[..., 0], 0.0).astype(jnp.float32)
+    n1 = jnp.where(pt_valid, normals[..., 1], 0.0).astype(jnp.float32)
+    nmap0, nmap1 = pl.pallas_call(
+        _make_nmap_kernel(h, w, M),
+        grid=(B, M),
+        in_specs=[
+            pl.BlockSpec((B, M), lambda b, m: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, M, P), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, P), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, P), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, P), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, w), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(has, y.astype(jnp.int32), x.astype(jnp.int32), n0, n1)
+    return nmap0, nmap1
+
+
 def supported(h, w, p):
     # h*w bound: the kernel holds whole-[H, W] f32 intermediates in VMEM
     # (one-hot matmul output + the two minr2 passes + the union scratch);

@@ -60,6 +60,47 @@ def test_rasterize_matches_oracles():
         np.asarray(uni), (cnt_ref > 0).any(axis=1).astype(np.uint8))
 
 
+def test_rasterize_nmap_matches_scatter():
+    pts, val, H, W = _fixture()
+    B, M, P, _ = pts.shape
+    rng = np.random.default_rng(7)
+    ang = rng.uniform(0, 2 * np.pi, (B, M, P))
+    normals = jnp.asarray(
+        np.stack([np.sin(ang), np.cos(ang)], -1).astype(np.float32))
+    n0, n1 = rp.rasterize_nmap(pts, val, normals, H, W)
+    # oracle: the f32 scatter-add the kernel replaces (same clip/drop rules)
+    flat = np.full((B * H * W, 2), 0.0, np.float64)
+    p_np, v_np, nr = np.asarray(pts), np.asarray(val), np.asarray(normals)
+    for b in range(B):
+        for m in range(M):
+            for p in range(P):
+                if v_np[b, m, p]:
+                    y = min(max(int(p_np[b, m, p, 0]), 0), H - 1)
+                    x = min(max(int(p_np[b, m, p, 1]), 0), W - 1)
+                    flat[b * H * W + y * W + x] += nr[b, m, p]
+    ref = flat.reshape(B, H, W, 2)
+    # 3-way bf16 split is exact per term; only f32 summation ORDER differs
+    np.testing.assert_allclose(np.asarray(n0), ref[..., 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n1), ref[..., 1], atol=1e-5)
+
+
+def test_tangent_loss_nmap_path_matches_scatter(monkeypatch):
+    from instance_segmentation_tpu.losses.losses import (
+        LossConfig, tangent_loss)
+    pts, val, H, W = _fixture()
+    B, M, P, _ = pts.shape
+    rng = np.random.default_rng(3)
+    ang = rng.uniform(0, 2 * np.pi, (B, M, P))
+    normals = jnp.asarray(
+        np.stack([np.sin(ang), np.cos(ang)], -1).astype(np.float32))
+    tg = _targets_stub(pts, val)._replace(normals=normals)
+    tan = jnp.asarray(rng.standard_normal((B, H, W, 2)).astype(np.float32))
+    l_pallas = float(tangent_loss(tan, tg, LossConfig()))
+    monkeypatch.setenv("ISEG_RASTER_XLA", "1")
+    l_scatter = float(tangent_loss(tan, tg, LossConfig()))
+    np.testing.assert_allclose(l_pallas, l_scatter, rtol=1e-5)
+
+
 def test_rasterize_empty_image():
     B, M, P, H, W = 1, 4, 32, 32, 128
     pts = jnp.zeros((B, M, P, 2), jnp.int32)

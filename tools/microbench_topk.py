@@ -77,6 +77,10 @@ def main():
             "current": jax.jit(lambda a: exact_topk_indices(a, k)),
             "partition256": jax.jit(lambda a: partition_topk(a, k)),
             "lax.top_k": jax.jit(lambda a: jax.lax.top_k(a, k)),
+            "approx_max_k": jax.jit(
+                lambda a: jax.lax.approx_max_k(a, k, recall_target=0.95)),
+            "approx_r80": jax.jit(
+                lambda a: jax.lax.approx_max_k(a, k, recall_target=0.80)),
         }
         for name, fn in fns.items():
             r = fn(x)
