@@ -184,6 +184,32 @@ def main():
     if BATCH > 1 and not os.environ.get("ISEG_BENCH_SKIP_B1"):
         batch1_ips = measure(images[:1], 30)
 
+    # serving-shape invocation: weights CLOSED OVER the jit (what the AOT
+    # export ships — and what the torch baseline does, its weights being
+    # module attributes). Removes the ~300-handle params-tree marshaling
+    # per call over the axon tunnel: measured b1 8.51 -> 7.29 ms/call,
+    # b8 210.9 -> 224.9 img/s (tools/microbench_serving.py, round 5).
+    serving_ips = serving_b1 = None
+    if not os.environ.get("ISEG_BENCH_SKIP_SERVING"):
+        var_fixed = {"params": params, "batch_stats": batch_stats}
+
+        @jax.jit
+        def infer_closed(imgs):
+            return forward_and_decode(model, var_fixed, imgs, anchors,
+                                      ORIG_H, ORIG_W, 2.0, dcfg)
+
+        def measure_closed(batch_images, iters):
+            force(infer_closed(batch_images))
+            t = time.time()
+            for _ in range(iters):
+                dets = infer_closed(batch_images)
+            force(dets)
+            return (iters * batch_images.shape[0]) / (time.time() - t)
+
+        serving_ips = measure_closed(images, 30)
+        if BATCH > 1:
+            serving_b1 = measure_closed(images[:1], 30)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
     vs_baseline = None
@@ -206,6 +232,10 @@ def main():
     if batch1_ips is not None:
         out["batch1_value"] = round(batch1_ips, 3)
         out["batch"] = BATCH
+    if serving_ips is not None:
+        out["serving_value"] = round(serving_ips, 3)
+    if serving_b1 is not None:
+        out["serving_batch1"] = round(serving_b1, 3)
     # train throughput in the SAME line so BENCH_r*.json tracks it per round
     # (round-4 verdict item 5d). ISEG_BENCH_SKIP_TRAIN=1 opts out (e.g. when
     # the compile cache is cold and the b8 train compile would time out).
